@@ -1,0 +1,22 @@
+"""sparse_pooling_tpu — TPU-native Sparse Non-homogeneous Pooling (SHPL) fusion detector.
+
+A brand-new JAX / XLA / Pallas framework with the capabilities of the reference
+``YeungLy/Sparse_Pooling`` codebase (SHPL LiDAR+camera fusion grafted onto an
+AVOD-style two-stage 3D detector for KITTI), re-designed TPU-first:
+
+- KITTI point-cloud voxelization to BEV height/density maps runs as jitted
+  segment-max/segment-sum device ops (reference: host numpy
+  ``wavedata/tools/core/voxel_grid_2d.py`` + ``avod/core/bev_generators/bev_slices.py``).
+- The calibration-derived sparse BEV<->front-view projection (reference:
+  ``tf.sparse_tensor_dense_matmul`` fed by per-frame COO built in
+  ``avod/datasets/kitti/kitti_utils.py``) becomes a fixed-capacity ELL
+  gather/weighted-sum op with a Pallas kernel variant.
+- VGG-pyramid backbones, RPN and AVOD-style second stage (reference:
+  ``avod/core/models/{rpn_model,avod_model}.py``) lower to XLA as one compiled
+  per-frame graph with device-side crop-and-resize and fixed-size masked NMS.
+- Training/eval (reference: ``avod/core/{trainer,evaluator}.py``) uses optax +
+  orbax, a double-buffered host pipeline, and data-parallel ``jax.sharding``
+  over a TPU mesh.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,302 @@
+"""Typed hierarchical configuration.
+
+Idiomatic replacement for the reference's protobuf text-format config schema
+(``avod/protos/{pipeline,model,train,eval,kitti_utils,mini_batch}.proto`` +
+``avod/builders/config_builder_util.py``): the same knob tree — BEV area
+extents, voxel size, anchor strides, NMS sizes, path-drop probabilities, LR
+decay, minibatch IoU bands — expressed as frozen dataclasses that are
+hashable, so a config can be a static argument to ``jax.jit``.
+
+TPU-first deviations from the reference are called out inline; all shapes are
+static so every model built from one config compiles to a single XLA graph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Tuple
+
+
+def _freeze(cls):
+    return dataclasses.dataclass(frozen=True)(cls)
+
+
+@_freeze
+class AreaExtents:
+    """BEV area extents in the camera frame (meters).
+
+    Reference: ``kitti_utils.proto`` area_extents [[-40,40],[-5,3],[0,70]].
+    """
+
+    x_min: float = -40.0
+    x_max: float = 40.0
+    y_min: float = -5.0  # height axis (camera y points down)
+    y_max: float = 3.0
+    z_min: float = 0.0
+    z_max: float = 70.0
+
+    @property
+    def xz(self) -> Tuple[Tuple[float, float], Tuple[float, float]]:
+        return ((self.x_min, self.x_max), (self.z_min, self.z_max))
+
+
+@_freeze
+class BevConfig:
+    """BEV rasterization (reference: ``bev_generators/bev_slices.py``).
+
+    The raw lattice is H x W = z-cells x x-cells = 700 x 800 at 0.1 m.
+    ``pad_h`` rows of zero padding are appended so the network input height is
+    divisible by the pyramid stride (TPU/static-shape deviation; the reference
+    feeds 700 directly).
+    """
+
+    voxel_size: float = 0.1
+    height_slices: int = 5  # + 1 density channel => 6 input channels
+    height_lo: float = -0.2  # meters above ground plane, slice range start
+    height_hi: float = 2.3  # slice range end
+    density_log_norm: float = 16.0  # density = min(1, log(n+1)/log(16))
+    pad_h: int = 4  # 700 -> 704
+
+    def grid_hw(self, extents: AreaExtents) -> Tuple[int, int]:
+        h = int(round((extents.z_max - extents.z_min) / self.voxel_size))
+        w = int(round((extents.x_max - extents.x_min) / self.voxel_size))
+        return h, w
+
+    def padded_hw(self, extents: AreaExtents) -> Tuple[int, int]:
+        h, w = self.grid_hw(extents)
+        return h + self.pad_h, w
+
+    @property
+    def num_channels(self) -> int:
+        return self.height_slices + 1
+
+
+@_freeze
+class ImageConfig:
+    """Fixed camera-image input lattice.
+
+    The reference feeds variable-size KITTI images (~370x1242); TPU/XLA needs
+    static shapes, so images are scaled+padded onto a fixed canvas divisible
+    by the pyramid stride.
+    """
+
+    height: int = 384
+    width: int = 1248
+    channels: int = 3
+
+
+@_freeze
+class SparsePoolConfig:
+    """SHPL sparse cross-view pooling (the novel op).
+
+    Reference: per-frame COO built host-side in ``kitti_utils`` fork code and
+    consumed by ``tf.sparse_tensor_dense_matmul`` inside the fusion feature
+    extractor. Here the correspondence is compiled to fixed-capacity ELL
+    tables (per target cell: up to ``ell_k`` (source index, bilinear weight)
+    pairs) at a configurable fusion stride.
+    """
+
+    fusion_stride: int = 8  # fuse at 1/8-resolution feature lattices
+    ell_k: int = 8  # max source contributions kept per target cell
+    max_points: int = 32768  # host pads/filters point cloud to this cap
+    normalize: bool = True  # row-normalize pooled features by total weight
+    bev_to_img: bool = True  # also pool BEV features into the image branch
+
+
+@_freeze
+class AnchorConfig:
+    """3D grid anchors (reference: ``grid_anchor_3d_generator.py``)."""
+
+    stride: float = 0.5  # meters, both x and z
+    # Per-class (length, width, height) anchor sizes; the reference clusters
+    # GT dimensions per class (label_cluster_utils). These are the standard
+    # KITTI cluster centroids.
+    sizes: Tuple[Tuple[float, float, float], ...] = ((3.9, 1.6, 1.56),)
+    rotations: Tuple[float, ...] = (0.0, 1.5707963267948966)
+    max_anchors: int = 16384  # static cap after the empty-anchor filter
+    density_threshold: int = 1  # min points in footprint to keep an anchor
+
+
+@_freeze
+class MiniBatchConfig:
+    """Anchor/proposal sampling (reference: ``mini_batch_utils.py``).
+
+    IoU bands follow the reference defaults for cars: RPN negatives
+    [0, 0.3), positives [0.5, 1]; stage-2 negatives [0, 0.55), positives
+    [0.65, 1].
+    """
+
+    rpn_batch_size: int = 512
+    rpn_neg_iou: Tuple[float, float] = (0.0, 0.3)
+    rpn_pos_iou: Tuple[float, float] = (0.5, 1.0)
+    avod_batch_size: int = 1024
+    avod_neg_iou: Tuple[float, float] = (0.0, 0.55)
+    avod_pos_iou: Tuple[float, float] = (0.65, 1.0)
+
+
+@_freeze
+class BackboneConfig:
+    """VGG-pyramid feature extractor (reference: ``feature_extractors/*_vgg_pyramid.py``)."""
+
+    channels: Tuple[int, ...] = (32, 64, 128, 256)  # encoder stage widths
+    blocks: Tuple[int, ...] = (2, 2, 3, 3)  # convs per stage
+    out_channels: int = 32  # 1x1 bottleneck on the decoded full-res map
+    l2_weight_decay: float = 0.0005
+    compute_dtype: str = "bfloat16"  # TPU MXU-native; params stay fp32
+
+
+@_freeze
+class RpnConfig:
+    """Region proposal network (reference: ``models/rpn_model.py``)."""
+
+    proposal_roi_size: int = 3  # crop_and_resize 3x3
+    fusion_channels: int = 256  # conv head width after ROI fusion
+    nms_iou_thresh: float = 0.8
+    train_nms_size: int = 1024
+    eval_nms_size: int = 300
+    pre_nms_top_k: int = 4096
+    loss_objectness_weight: float = 1.0
+    loss_regression_weight: float = 5.0
+
+
+@_freeze
+class AvodStage2Config:
+    """Second-stage detection head (reference: ``models/avod_model.py``)."""
+
+    roi_size: int = 7  # crop_and_resize 7x7
+    fc_layers: Tuple[int, ...] = (2048, 2048, 2048)
+    keep_dropout_prob: float = 0.5
+    fusion_method: str = "mean"  # 'mean' | 'concat'
+    nms_iou_thresh: float = 0.01
+    nms_size: int = 100
+    loss_cls_weight: float = 1.0
+    loss_reg_weight: float = 5.0
+    loss_ang_weight: float = 1.0
+    box_rep: str = "box_4c"  # 10-d regression target (4 corners + 2 heights)
+
+
+@_freeze
+class PathDropConfig:
+    """Branch path-drop regularization (reference: rpn_model path_drop).
+
+    With probability keep both; otherwise drop one branch's features (never
+    both). Probabilities follow the reference example config (0.9, 0.9).
+    """
+
+    bev_keep_prob: float = 0.9
+    img_keep_prob: float = 0.9
+    enabled: bool = True
+
+
+@_freeze
+class ModelConfig:
+    classes: Tuple[str, ...] = ("Car",)
+    bev: BevConfig = BevConfig()
+    image: ImageConfig = ImageConfig()
+    sparse_pool: SparsePoolConfig = SparsePoolConfig()
+    anchors: AnchorConfig = AnchorConfig()
+    mini_batch: MiniBatchConfig = MiniBatchConfig()
+    backbone: BackboneConfig = BackboneConfig()
+    rpn: RpnConfig = RpnConfig()
+    avod: AvodStage2Config = AvodStage2Config()
+    path_drop: PathDropConfig = PathDropConfig()
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.classes)
+
+
+@_freeze
+class OptimizerConfig:
+    """Adam + exponential LR decay (reference: ``optimizer_builder`` + train.proto)."""
+
+    name: str = "adam"
+    initial_lr: float = 1e-4
+    decay_steps: int = 30000
+    decay_rate: float = 0.8
+    staircase: bool = True
+    grad_clip_norm: float = 0.0  # 0 disables
+
+
+@_freeze
+class TrainConfig:
+    batch_size: int = 1
+    max_iterations: int = 120000
+    checkpoint_interval: int = 1000
+    summary_interval: int = 10
+    max_checkpoints_to_keep: int = 10000  # keep-all so the evaluator can sweep
+    optimizer: OptimizerConfig = OptimizerConfig()
+    data_parallel: bool = True  # shard batch over the 'data' mesh axis
+    prefetch_depth: int = 2  # double-buffered host->device pipeline
+
+
+@_freeze
+class EvalConfig:
+    score_threshold: float = 0.1
+    batch_size: int = 1
+    eval_interval: int = 1000  # evaluate every new checkpoint >= this spacing
+    kitti_score_threshold: float = 0.1
+
+
+@_freeze
+class DatasetConfig:
+    """KITTI dataset (reference: ``avod/datasets/kitti/kitti_dataset.py``)."""
+
+    root: str = "/data/kitti/object"
+    split: str = "train"  # train | val | trainval | test
+    data_dir: str = "training"  # training | testing
+    aug_flip: bool = True
+    aug_pca_jitter: bool = True
+    shuffle: bool = True
+    seed: int = 0
+
+
+@_freeze
+class PipelineConfig:
+    """Top-level config (reference: ``pipeline.proto``)."""
+
+    checkpoint_name: str = "pyramid_cars_shpl"
+    experiments_dir: str = "experiments"
+    model: ModelConfig = ModelConfig()
+    train: TrainConfig = TrainConfig()
+    eval: EvalConfig = EvalConfig()
+    dataset: DatasetConfig = DatasetConfig()
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def _build(cls, data: Any):
+    if dataclasses.is_dataclass(cls) and isinstance(data, dict):
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for key, value in data.items():
+            if key not in fields:
+                raise KeyError(f"unknown config field {cls.__name__}.{key}")
+            ftype = fields[key].type
+            default = getattr(cls, key, fields[key].default)
+            if dataclasses.is_dataclass(type(default)):
+                kwargs[key] = _build(type(default), value)
+            elif isinstance(value, list):
+                kwargs[key] = tuple(tuple(v) if isinstance(v, list) else v for v in value)
+            else:
+                kwargs[key] = value
+            del ftype
+        return cls(**kwargs)
+    return data
+
+
+def pipeline_config_from_dict(data: dict) -> PipelineConfig:
+    """Parse a (possibly partial) nested dict into a PipelineConfig.
+
+    Capability parity with ``config_builder_util.get_configs_from_pipeline_file``:
+    unknown keys raise, missing keys take defaults.
+    """
+
+    return _build(PipelineConfig, data)
+
+
+def pipeline_config_from_file(path: str) -> PipelineConfig:
+    with open(path) as f:
+        return pipeline_config_from_dict(json.load(f))

@@ -1,0 +1,122 @@
+"""Example configurations.
+
+Counterparts of the reference's ``avod/configs/*.config`` text-format files:
+``pyramid_cars_with_aug_example.config``, the pedestrian/cyclist config, and
+the hermetic unit-test config used with the vendored mini-KITTI fixture.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from sparse_pooling_tpu.configs.config import (
+    AnchorConfig,
+    AvodStage2Config,
+    BackboneConfig,
+    BevConfig,
+    DatasetConfig,
+    EvalConfig,
+    ImageConfig,
+    MiniBatchConfig,
+    ModelConfig,
+    PipelineConfig,
+    RpnConfig,
+    SparsePoolConfig,
+    TrainConfig,
+)
+
+# KITTI per-class anchor sizes (l, w, h): cluster centroids of GT dimensions,
+# the role played by the reference's label_cluster_utils output.
+CAR_SIZE = (3.913, 1.629, 1.526)
+PEDESTRIAN_SIZE = (0.842, 0.660, 1.760)
+CYCLIST_SIZE = (1.763, 0.597, 1.737)
+
+
+def cars_pyramid_config() -> PipelineConfig:
+    """Cars, VGG pyramid, SHPL fusion, flip+PCA augmentation."""
+
+    return PipelineConfig(
+        checkpoint_name="pyramid_cars_shpl",
+        model=ModelConfig(
+            classes=("Car",),
+            anchors=AnchorConfig(sizes=(CAR_SIZE,)),
+        ),
+    )
+
+
+def people_pyramid_config() -> PipelineConfig:
+    """Pedestrian + Cyclist, shared config (reference people config)."""
+
+    return PipelineConfig(
+        checkpoint_name="pyramid_people_shpl",
+        model=ModelConfig(
+            classes=("Pedestrian", "Cyclist"),
+            anchors=AnchorConfig(
+                sizes=(PEDESTRIAN_SIZE, CYCLIST_SIZE),
+                # people configs use a finer anchor stride in the reference
+                stride=0.3,
+            ),
+            mini_batch=MiniBatchConfig(
+                rpn_neg_iou=(0.0, 0.3),
+                rpn_pos_iou=(0.45, 1.0),
+                avod_neg_iou=(0.0, 0.45),
+                avod_pos_iou=(0.55, 1.0),
+            ),
+        ),
+    )
+
+
+def unittest_config(dataset_root: str = "tests/fixtures/kitti") -> PipelineConfig:
+    """Tiny hermetic config for unit tests (reference: unittest_pipeline.config).
+
+    Shrinks every static dimension so the whole model jits in seconds on CPU:
+    a 176x200 BEV lattice, 96x312 image canvas, small backbone, small caps.
+    """
+
+    bev = BevConfig(voxel_size=0.4, pad_h=1)  # 70/0.4=175 -> 176 ; 80/0.4=200
+    return PipelineConfig(
+        checkpoint_name="unittest_pipeline",
+        model=ModelConfig(
+            classes=("Car",),
+            bev=bev,
+            image=ImageConfig(height=96, width=312),
+            sparse_pool=SparsePoolConfig(
+                fusion_stride=8, ell_k=4, max_points=2048
+            ),
+            anchors=AnchorConfig(
+                sizes=(CAR_SIZE,), stride=2.0, max_anchors=256
+            ),
+            mini_batch=MiniBatchConfig(rpn_batch_size=64, avod_batch_size=64),
+            backbone=BackboneConfig(
+                channels=(8, 16, 32, 32), blocks=(1, 1, 1, 1), out_channels=8,
+                compute_dtype="float32",
+            ),
+            rpn=RpnConfig(
+                fusion_channels=32,
+                pre_nms_top_k=128,
+                train_nms_size=32,
+                eval_nms_size=16,
+            ),
+            avod=AvodStage2Config(fc_layers=(64, 64), nms_size=8),
+        ),
+        train=TrainConfig(batch_size=1, max_iterations=2, checkpoint_interval=1),
+        eval=EvalConfig(),
+        dataset=DatasetConfig(root=dataset_root, aug_flip=False, aug_pca_jitter=False, shuffle=False),
+    )
+
+
+def preset(name: str) -> PipelineConfig:
+    presets = {
+        "cars": cars_pyramid_config,
+        "people": people_pyramid_config,
+        "unittest": unittest_config,
+    }
+    if name not in presets:
+        raise KeyError(f"unknown preset '{name}'; options: {sorted(presets)}")
+    return presets[name]()
+
+
+def override(cfg: PipelineConfig, **kwargs) -> PipelineConfig:
+    """Shallow dataclasses.replace passthrough for CLI overrides."""
+
+    return dataclasses.replace(cfg, **kwargs)

@@ -1,0 +1,121 @@
+"""Velodyne point-cloud IO and frustum/area filtering (host, numpy).
+
+Capability parity with ``wavedata/tools/core/obj_utils.get_lidar_point_cloud``
+plus the area-extents / image-frustum filtering done by the reference's
+``KittiUtils`` before BEV-map generation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from sparse_pooling_tpu.configs.config import AreaExtents
+from sparse_pooling_tpu.data.calib import FrameCalib, lidar_to_cam_frame, project_to_image
+
+
+def load_velodyne(path: str) -> np.ndarray:
+    """Read a KITTI ``velodyne/*.bin`` scan -> (N, 4) [x, y, z, reflectance]."""
+
+    return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+
+
+def get_lidar_point_cloud(
+    velo_path: str,
+    calib: FrameCalib,
+    image_shape: Optional[Tuple[int, int]] = None,
+) -> np.ndarray:
+    """Load a scan and move it to the rectified camera frame (N, 3).
+
+    If ``image_shape`` (h, w) is given, keep only points that project inside
+    the image with positive depth — the reference does this so every LiDAR
+    point has a valid front-view correspondence.
+    """
+
+    velo = load_velodyne(velo_path)
+    pts_cam = lidar_to_cam_frame(velo, calib)
+    if image_shape is not None:
+        pts_cam = filter_to_image_frustum(pts_cam, calib.p2, image_shape)
+    return pts_cam
+
+
+def filter_to_image_frustum(
+    points_cam: np.ndarray, p2: np.ndarray, image_shape: Tuple[int, int]
+) -> np.ndarray:
+    """Keep camera-frame points visible in the image (depth > 0, in bounds)."""
+
+    h, w = image_shape
+    depth_ok = points_cam[:, 2] > 0.0
+    uv = project_to_image(points_cam, p2)
+    in_img = (
+        (uv[:, 0] >= 0.0)
+        & (uv[:, 0] <= w - 1.0)
+        & (uv[:, 1] >= 0.0)
+        & (uv[:, 1] <= h - 1.0)
+    )
+    return points_cam[depth_ok & np.nan_to_num(in_img, nan=False)]
+
+
+def filter_to_area_extents(
+    points_cam: np.ndarray, extents: AreaExtents
+) -> np.ndarray:
+    """Keep points inside the BEV area extents box (cam frame)."""
+
+    m = (
+        (points_cam[:, 0] >= extents.x_min)
+        & (points_cam[:, 0] < extents.x_max)
+        & (points_cam[:, 1] >= extents.y_min)
+        & (points_cam[:, 1] < extents.y_max)
+        & (points_cam[:, 2] >= extents.z_min)
+        & (points_cam[:, 2] < extents.z_max)
+    )
+    return points_cam[m]
+
+
+def distance_to_plane(points: np.ndarray, plane: np.ndarray) -> np.ndarray:
+    """Signed distance of (N, 3) points to plane [a, b, c, d].
+
+    The plane normal is oriented up (-y); positive distance = above the road.
+    """
+
+    return points @ plane[:3] + plane[3]
+
+
+def filter_ground_offset(
+    points_cam: np.ndarray,
+    plane: np.ndarray,
+    height_lo: float,
+    height_hi: float,
+) -> np.ndarray:
+    """Keep points whose height above the ground plane is in [lo, hi).
+
+    Reference: KittiUtils ground-plane slice filtering for BEV maps.
+    """
+
+    d = distance_to_plane(points_cam, plane)
+    return points_cam[(d >= height_lo) & (d < height_hi)]
+
+
+def pad_or_subsample(
+    points: np.ndarray, cap: int, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad (with zeros) or deterministically subsample to a static cap.
+
+    TPU/static-shape deviation: the reference feeds variable-length point
+    clouds; XLA needs a fixed shape, so frames carry (points[cap, 3],
+    valid_mask[cap]).
+    """
+
+    n = points.shape[0]
+    if n > cap:
+        rng = np.random.RandomState(seed)
+        idx = rng.choice(n, cap, replace=False)
+        idx.sort()
+        points = points[idx]
+        n = cap
+    out = np.zeros((cap, points.shape[1]), dtype=np.float32)
+    out[:n] = points
+    mask = np.zeros((cap,), dtype=bool)
+    mask[:n] = True
+    return out, mask

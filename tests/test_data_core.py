@@ -1,0 +1,174 @@
+"""Host data core tests: calib, labels, voxel grid, BEV maps, integral image.
+
+Mirrors the reference's numpy-golden-value unit-test style (SURVEY.md §5):
+tiny hand-built fixtures with exact expectations.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from sparse_pooling_tpu.configs.config import AreaExtents, BevConfig
+from sparse_pooling_tpu.data import augmentation as aug
+from sparse_pooling_tpu.data import bev, calib, integral_image, labels, pointcloud, voxel_grid
+
+
+def test_read_calibration(kitti_root):
+    c = calib.read_calibration(os.path.join(kitti_root, "training/calib/000000.txt"))
+    assert c.p2.shape == (3, 4)
+    assert c.r0_rect.shape == (3, 3)
+    assert c.tr_velo_to_cam.shape == (3, 4)
+    np.testing.assert_allclose(c.p2[0, 0], 721.5377, rtol=1e-6)
+
+
+def test_velo_to_cam_round_trip(kitti_root):
+    c = calib.read_calibration(os.path.join(kitti_root, "training/calib/000000.txt"))
+    # velodyne x-forward becomes camera z-forward
+    pts_velo = np.array([[10.0, 0.0, 0.0, 1.0]])
+    cam = calib.lidar_to_cam_frame(pts_velo, c)
+    assert cam[0, 2] > 9.0
+    assert abs(cam[0, 0]) < 1.0
+
+
+def test_project_to_image_center():
+    p2 = np.array([[700.0, 0.0, 600.0, 0.0], [0.0, 700.0, 180.0, 0.0], [0.0, 0.0, 1.0, 0.0]])
+    # a point straight ahead projects onto the principal point
+    uv = calib.project_to_image(np.array([[0.0, 0.0, 10.0]]), p2)
+    np.testing.assert_allclose(uv, [[600.0, 180.0]])
+    # x offset moves u by fx * x / z
+    uv = calib.project_to_image(np.array([[1.0, 0.0, 10.0]]), p2)
+    np.testing.assert_allclose(uv, [[670.0, 180.0]])
+
+
+def test_read_labels(kitti_root):
+    lbs = labels.read_labels(os.path.join(kitti_root, "training/label_2/000000.txt"))
+    assert len(lbs) >= 2
+    assert all(ob.type in ("Car", "Pedestrian") for ob in lbs)
+    cars = labels.filter_labels_by_class(lbs, ["Car"])
+    assert all(ob.type == "Car" for ob in cars)
+    arr = labels.labels_to_box3d_array(cars)
+    assert arr.shape == (len(cars), 7)
+
+
+def test_ground_plane(kitti_root):
+    plane = labels.read_ground_plane(os.path.join(kitti_root, "training/planes/000000.txt"))
+    # normal points up (-y), road 1.65m below camera
+    assert plane[1] < 0
+    d = pointcloud.distance_to_plane(np.array([[0.0, 1.65, 10.0]]), plane)
+    np.testing.assert_allclose(d, [0.0], atol=1e-6)
+    d = pointcloud.distance_to_plane(np.array([[0.0, 0.65, 10.0]]), plane)
+    np.testing.assert_allclose(d, [1.0], atol=1e-6)
+
+
+def test_voxelize_2d_hand_case():
+    ext = AreaExtents()
+    # two points in the same cell, one in another
+    pts = np.array(
+        [
+            [-40.0 + 0.05, 1.0, 0.05],  # cell (0, 0)
+            [-40.0 + 0.08, 1.5, 0.01],  # cell (0, 0)
+            [0.0, 1.2, 35.0],  # cell (350, 400)
+        ]
+    )
+    vg = voxel_grid.voxelize_2d(pts, ext, 0.1)
+    assert vg.grid_hw == (700, 800)
+    assert vg.cell_rc.shape == (2, 2)
+    np.testing.assert_array_equal(vg.cell_rc[0], [0, 0])
+    np.testing.assert_array_equal(vg.cell_rc[1], [350, 400])
+    np.testing.assert_array_equal(vg.counts, [2, 1])
+    np.testing.assert_allclose(vg.min_y, [1.0, 1.2])
+    np.testing.assert_allclose(vg.max_y, [1.5, 1.2])
+
+
+def test_voxelize_2d_empty():
+    vg = voxel_grid.voxelize_2d(np.zeros((0, 3)), AreaExtents(), 0.1)
+    assert vg.cell_rc.shape == (0, 2)
+    assert vg.occupancy().sum() == 0
+
+
+def test_bev_maps_hand_case():
+    ext = AreaExtents()
+    cfg = BevConfig()
+    plane = labels.default_ground_plane()
+    slice_h = (cfg.height_hi - cfg.height_lo) / cfg.height_slices  # 0.5
+    # one point 0.3m above ground -> slice 1 (heights shifted by height_lo=-0.2)
+    pts = np.array([[0.0, 1.65 - 0.3, 35.0]])
+    maps = bev.generate_bev_maps(pts, plane, ext, cfg)
+    assert maps.shape == (704, 800, 6)
+    r, c = 350, 400
+    height_rel = (0.3 - cfg.height_lo) % slice_h
+    sl = int((0.3 - cfg.height_lo) // slice_h)
+    assert sl == 1
+    np.testing.assert_allclose(maps[r, c, sl], height_rel / slice_h, rtol=1e-5)
+    assert maps[r, c, 0] == 0.0
+    # density: one point -> log(2)/log(16)
+    np.testing.assert_allclose(maps[r, c, 5], np.log(2) / np.log(16), rtol=1e-5)
+    # all other cells empty
+    maps[r, c, :] = 0
+    assert maps.sum() == 0.0
+
+
+def test_bev_maps_density_saturation():
+    ext = AreaExtents()
+    cfg = BevConfig()
+    plane = labels.default_ground_plane()
+    pts = np.repeat(np.array([[0.0, 1.0, 35.0]]), 100, axis=0)
+    maps = bev.generate_bev_maps(pts, plane, ext, cfg)
+    assert maps[350, 400, 5] == 1.0  # min(1, log(101)/log(16)) saturates
+
+
+def test_integral_image_2d(rng):
+    grid = (rng.rand(20, 30) > 0.5).astype(np.int32)
+    ii = integral_image.integral_image_2d(grid)
+    boxes = np.array([[0, 0, 20, 30], [3, 4, 10, 12], [5, 5, 5, 9]])
+    got = integral_image.query_boxes_2d(ii, boxes)
+    assert got[0] == grid.sum()
+    assert got[1] == grid[3:10, 4:12].sum()
+    assert got[2] == 0  # empty box
+
+
+def test_integral_image_3d(rng):
+    grid = (rng.rand(8, 9, 10) > 0.5).astype(np.int32)
+    ii = integral_image.integral_image_3d(grid)
+    boxes = np.array([[0, 0, 0, 8, 9, 10], [2, 3, 4, 5, 6, 9]])
+    got = integral_image.query_boxes_3d(ii, boxes)
+    assert got[0] == grid.sum()
+    assert got[1] == grid[2:5, 3:6, 4:9].sum()
+
+
+def test_flip_consistency(kitti_root):
+    """Flipped points projected through the flipped calib land on the
+    mirrored pixel — the invariant kitti_aug must preserve."""
+
+    c = calib.read_calibration(os.path.join(kitti_root, "training/calib/000000.txt"))
+    img = np.zeros((375, 1242, 3), dtype=np.uint8)
+    pts = np.array([[2.0, 1.0, 20.0], [-3.0, 0.5, 15.0]])
+    uv = calib.project_to_image(pts, c.p2)
+    _, pts_f, calib_f, _ = aug.flip_sample(img, pts, c, [])
+    uv_f = calib.project_to_image(pts_f, calib_f.p2)
+    np.testing.assert_allclose(uv_f[:, 0], (img.shape[1] - 1.0) - uv[:, 0], atol=1e-6)
+    np.testing.assert_allclose(uv_f[:, 1], uv[:, 1], atol=1e-6)
+
+
+def test_flip_label_round_trip():
+    ob = labels.ObjectLabel(
+        type="Car", truncation=0.0, occlusion=0, alpha=0.1,
+        x1=100, y1=50, x2=200, y2=120, h=1.5, w=1.6, l=3.9,
+        t=(2.0, 1.65, 20.0), ry=0.3,
+    )
+    back = aug.flip_label(aug.flip_label(ob, 1242), 1242)
+    np.testing.assert_allclose(back.t, ob.t)
+    np.testing.assert_allclose(back.ry, ob.ry, atol=1e-9)
+    np.testing.assert_allclose([back.x1, back.x2], [ob.x1, ob.x2])
+
+
+def test_pad_or_subsample():
+    pts = np.arange(30, dtype=np.float32).reshape(10, 3)
+    out, mask = pointcloud.pad_or_subsample(pts, 16)
+    assert out.shape == (16, 3) and mask.sum() == 10
+    np.testing.assert_array_equal(out[:10], pts)
+    out, mask = pointcloud.pad_or_subsample(pts, 4, seed=1)
+    assert out.shape == (4, 3) and mask.all()
+    # subsample preserves order and draws from the original rows
+    assert all(any((row == pts[i]).all() for i in range(10)) for row in out)
