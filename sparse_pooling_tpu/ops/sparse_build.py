@@ -1,0 +1,161 @@
+"""Device-side SHPL sparse-correspondence construction.
+
+The reference builds its per-frame ``tf.SparseTensor`` on the HOST in numpy
+(fork code in ``kitti_utils`` / ``sparse_pool_utils``) and uploads it through
+``feed_dict`` every step — one of the reasons it is host-bound. Measurement
+on this TPU (tunneled transport, ~0.3 GB/s host->device) makes that design
+untenable: the padded COO pair alone is ~3 MB/frame (~10 ms of transfer).
+
+TPU-first redesign: the correspondence is built INSIDE the compiled graph
+from the raw inputs the device needs anyway — padded points [P, 3], the
+calibration row block P2 [3, 4], and static lattice geometry. Per-frame
+host->device traffic drops to points + image (~1 MB), and the projection /
+bilinear math rides the VPU. The host builder
+(``data.sparse_matrix.build_sparse_pooling_input``) remains the parity
+oracle; tests compare pooled outputs to <=1e-3.
+
+Unlike the host builder, no dedup/sort is performed (duplicate (t, s)
+entries sum identically in segment-sum; sortedness is not assumed here), and
+rows are normalized with an on-device segment-sum of weights.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sparse_pooling_tpu.configs.config import (
+    AreaExtents,
+    BevConfig,
+    ImageConfig,
+    SparsePoolConfig,
+)
+
+
+class DeviceCoo(NamedTuple):
+    """One pooling direction on device. Invalid entries carry weight 0."""
+
+    rows: jnp.ndarray  # [N] int32 target linear index
+    cols: jnp.ndarray  # [N] int32 source linear index
+    vals: jnp.ndarray  # [N] f32 row-normalized weights
+    target_hw: Tuple[int, int]
+    source_hw: Tuple[int, int]
+
+
+def _bilinear_expand(target_idx, src_u, src_v, valid, source_hw):
+    """Each (target, continuous source) pair -> 4 COO entries, [4N] arrays."""
+
+    sh, sw = source_hw
+    u = jnp.clip(src_u, 0.0, sw - 1.0)
+    v = jnp.clip(src_v, 0.0, sh - 1.0)
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, max(sw - 2, 0))
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, max(sh - 2, 0))
+    du = u - u0
+    dv = v - v0
+    u1 = jnp.minimum(u0 + 1, sw - 1)
+    v1 = jnp.minimum(v0 + 1, sh - 1)
+
+    cols = jnp.stack(
+        [v0 * sw + u0, v0 * sw + u1, v1 * sw + u0, v1 * sw + u1], axis=1
+    ).reshape(-1)
+    w = jnp.stack(
+        [(1 - dv) * (1 - du), (1 - dv) * du, dv * (1 - du), dv * du], axis=1
+    ).reshape(-1)
+    rows = jnp.repeat(target_idx, 4)
+    w = jnp.where(jnp.repeat(valid, 4), w, 0.0)
+    return rows, cols, w.astype(jnp.float32)
+
+
+def _normalize_rows(rows, vals, num_targets):
+    """L1-normalize weights within each target row (on-device segment sum)."""
+
+    tot = jax.ops.segment_sum(vals, rows, num_segments=num_targets)
+    denom = jnp.take(tot, rows)
+    return jnp.where(denom > 1e-12, vals / jnp.maximum(denom, 1e-12), 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("extents", "bev_cfg", "img_cfg", "sp_cfg")
+)
+def build_coo_device(
+    points: jnp.ndarray,  # [P, 3] f32 camera-frame, zero-padded
+    mask: jnp.ndarray,  # [P] bool
+    p2: jnp.ndarray,  # [3, 4] f32 projection matrix (network-canvas scaled)
+    extents: AreaExtents,
+    bev_cfg: BevConfig,
+    img_cfg: ImageConfig,
+    sp_cfg: SparsePoolConfig,
+) -> Tuple[DeviceCoo, DeviceCoo]:
+    """Per-frame SHPL correspondence, both directions, fully on device.
+
+    ``p2`` must already map onto the fixed network canvas (the host dataset
+    scales the raw calibration by the image resize factors).
+    Semantics match ``data.sparse_matrix.build_sparse_pooling_input``.
+    """
+
+    s = float(sp_cfg.fusion_stride)
+    bh_f = (bev_cfg.padded_hw(extents)[0]) // sp_cfg.fusion_stride
+    bw_f = (bev_cfg.padded_hw(extents)[1]) // sp_cfg.fusion_stride
+    ih_f = img_cfg.height // sp_cfg.fusion_stride
+    iw_f = img_cfg.width // sp_cfg.fusion_stride
+
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    valid = (
+        mask
+        & (x >= extents.x_min) & (x < extents.x_max)
+        & (y >= extents.y_min) & (y < extents.y_max)
+        & (z >= extents.z_min) & (z < extents.z_max)
+    )
+
+    # continuous BEV fusion-lattice coords
+    bev_c = (x - extents.x_min) / bev_cfg.voxel_size / s
+    bev_r = (z - extents.z_min) / bev_cfg.voxel_size / s
+
+    # continuous FV fusion-lattice coords via P2 (guard the divide).
+    # NB: expanded elementwise, NOT via matmul — JAX's default matmul
+    # precision on TPU is bf16-accumulate, which costs ~0.01 px here and
+    # breaks the <=1e-3 parity bar. Elementwise ops stay true fp32 on the VPU.
+    u_n = p2[0, 0] * x + p2[0, 1] * y + p2[0, 2] * z + p2[0, 3]
+    v_n = p2[1, 0] * x + p2[1, 1] * y + p2[1, 2] * z + p2[1, 3]
+    depth = p2[2, 0] * x + p2[2, 1] * y + p2[2, 2] * z + p2[2, 3]
+    uvw = jnp.stack([u_n, v_n, depth], axis=1)
+    valid = valid & (depth > 1e-3)
+    safe_depth = jnp.where(depth > 1e-3, depth, 1.0)
+    fv_u = uvw[:, 0] / safe_depth / s
+    fv_v = uvw[:, 1] / safe_depth / s
+    # points must land on the canvas (frustum filter, device side)
+    valid = valid & (fv_u >= 0) & (fv_u <= iw_f - 1) & (fv_v >= 0) & (fv_v <= ih_f - 1)
+
+    t_bev = (
+        jnp.clip(bev_r.astype(jnp.int32), 0, bh_f - 1) * bw_f
+        + jnp.clip(bev_c.astype(jnp.int32), 0, bw_f - 1)
+    )
+    t_fv = (
+        jnp.clip(fv_v.astype(jnp.int32), 0, ih_f - 1) * iw_f
+        + jnp.clip(fv_u.astype(jnp.int32), 0, iw_f - 1)
+    )
+
+    rows_b, cols_b, w_b = _bilinear_expand(t_bev, fv_u, fv_v, valid, (ih_f, iw_f))
+    rows_f, cols_f, w_f = _bilinear_expand(t_fv, bev_c, bev_r, valid, (bh_f, bw_f))
+
+    if sp_cfg.normalize:
+        w_b = _normalize_rows(rows_b, w_b, bh_f * bw_f)
+        w_f = _normalize_rows(rows_f, w_f, ih_f * iw_f)
+
+    m_bev = DeviceCoo(rows_b, cols_b, w_b, (bh_f, bw_f), (ih_f, iw_f))
+    m_fv = DeviceCoo(rows_f, cols_f, w_f, (ih_f, iw_f), (bh_f, bw_f))
+    return m_bev, m_fv
+
+
+def scale_p2_to_canvas(p2, scale_y: float, scale_x: float):
+    """Host helper: rescale P2 rows for a resized image canvas."""
+
+    import numpy as np
+
+    out = np.array(p2, dtype=np.float32).copy()
+    out[0] *= scale_x
+    out[1] *= scale_y
+    return out

