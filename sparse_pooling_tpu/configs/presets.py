@@ -69,35 +69,38 @@ def people_pyramid_config() -> PipelineConfig:
 def unittest_config(dataset_root: str = "tests/fixtures/kitti") -> PipelineConfig:
     """Tiny hermetic config for unit tests (reference: unittest_pipeline.config).
 
-    Shrinks every static dimension so the whole model jits in seconds on CPU:
-    a 176x200 BEV lattice, 96x312 image canvas, small backbone, small caps.
+    Shrinks every static dimension so the whole model traces/compiles fast
+    on the CPU backend: an 88x100 BEV lattice, 48x160 image canvas, tiny
+    backbone, tiny caps.
     """
 
-    bev = BevConfig(voxel_size=0.4, pad_h=1)  # 70/0.4=175 -> 176 ; 80/0.4=200
+    bev = BevConfig(voxel_size=0.8, pad_h=0)  # 70/0.8 -> 88 (rounded) x 100
     return PipelineConfig(
         checkpoint_name="unittest_pipeline",
         model=ModelConfig(
             classes=("Car",),
             bev=bev,
-            image=ImageConfig(height=96, width=312),
+            image=ImageConfig(height=48, width=160),
+            # fusion_stride must equal the encoder's final stride
+            # 2^(len(backbone.channels) - 1): 2 stages -> stride 2
             sparse_pool=SparsePoolConfig(
-                fusion_stride=8, ell_k=4, max_points=2048
+                fusion_stride=2, ell_k=4, max_points=1024
             ),
             anchors=AnchorConfig(
-                sizes=(CAR_SIZE,), stride=2.0, max_anchors=256
+                sizes=(CAR_SIZE,), stride=4.0, max_anchors=128
             ),
-            mini_batch=MiniBatchConfig(rpn_batch_size=64, avod_batch_size=64),
+            mini_batch=MiniBatchConfig(rpn_batch_size=32, avod_batch_size=32),
             backbone=BackboneConfig(
-                channels=(8, 16, 32, 32), blocks=(1, 1, 1, 1), out_channels=8,
+                channels=(8, 16), blocks=(1, 1), out_channels=8,
                 compute_dtype="float32",
             ),
             rpn=RpnConfig(
                 fusion_channels=32,
-                pre_nms_top_k=128,
-                train_nms_size=32,
+                pre_nms_top_k=64,
+                train_nms_size=16,
                 eval_nms_size=16,
             ),
-            avod=AvodStage2Config(fc_layers=(64, 64), nms_size=8),
+            avod=AvodStage2Config(fc_layers=(32, 32), nms_size=8),
         ),
         train=TrainConfig(batch_size=1, max_iterations=2, checkpoint_interval=1),
         eval=EvalConfig(),

@@ -1,0 +1,190 @@
+"""KITTI dataset: sample index, per-frame loading, batching.
+
+Capability parity with ``avod/datasets/kitti/kitti_dataset.py`` +
+``kitti_utils.py``: a split-file-driven sample index whose ``load_sample``
+produces everything one training step needs. The heavy per-frame work the
+reference did on the host (BEV maps, sparse matrices, anchor info) is NOT
+done here — it moved on-device (``ops.bev_device``, ``ops.sparse_build``,
+``ops.anchors``); the host only reads files, rescales the image onto the
+fixed canvas, applies augmentation, and pads to static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from sparse_pooling_tpu.configs.config import (
+    AreaExtents,
+    DatasetConfig,
+    ModelConfig,
+)
+from sparse_pooling_tpu.data import augmentation as aug
+from sparse_pooling_tpu.data import calib as calib_mod
+from sparse_pooling_tpu.data import labels as labels_mod
+from sparse_pooling_tpu.data import pointcloud
+
+MAX_GT_BOXES = 32
+
+
+@dataclasses.dataclass
+class HostSample:
+    """Numpy twin of ``models.pipeline.RawSample`` plus metadata."""
+
+    sample_id: str
+    points: np.ndarray  # [P, 3] f32
+    points_mask: np.ndarray  # [P] bool
+    image: np.ndarray  # [Hi, Wi, 3] uint8
+    p2: np.ndarray  # [3, 4] f32 canvas-scaled
+    ground_plane: np.ndarray  # [4] f32
+    gt_boxes_3d: np.ndarray  # [G, 7] f32
+    gt_valid: np.ndarray  # [G] bool
+    gt_classes: np.ndarray  # [G] int32
+    raw_image_hw: tuple = (0, 0)
+
+    def as_arrays(self) -> tuple:
+        """Field order matches RawSample."""
+
+        return (
+            self.points, self.points_mask, self.image, self.p2,
+            self.ground_plane, self.gt_boxes_3d, self.gt_valid, self.gt_classes,
+        )
+
+
+class KittiDataset:
+    """Sample index over a KITTI object tree (reference KittiDataset)."""
+
+    def __init__(
+        self,
+        cfg: DatasetConfig,
+        model_cfg: ModelConfig,
+        extents: AreaExtents = AreaExtents(),
+    ):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.extents = extents
+        self.base = os.path.join(cfg.root, cfg.data_dir)
+        split_path = os.path.join(cfg.root, cfg.split + ".txt")
+        with open(split_path) as f:
+            self.sample_ids: List[str] = [l.strip() for l in f if l.strip()]
+        self.class_to_idx = {
+            name: i + 1 for i, name in enumerate(model_cfg.classes)
+        }
+
+    def __len__(self) -> int:
+        return len(self.sample_ids)
+
+    # ------------------------------------------------------------ paths
+    def _path(self, folder: str, sid: str, ext: str) -> str:
+        return os.path.join(self.base, folder, sid + ext)
+
+    # ------------------------------------------------------------ loading
+    def load_sample(
+        self, sid: str, augment_seed: Optional[int] = None
+    ) -> HostSample:
+        """Load + canvas-scale + (optionally) augment + pad one frame.
+
+        ``augment_seed`` enables deterministic flip/PCA selection; None
+        disables augmentation (eval path).
+        """
+
+        from PIL import Image
+
+        mc = self.model_cfg
+        cal = calib_mod.read_calibration(self._path("calib", sid, ".txt"))
+        img = np.asarray(Image.open(self._path("image_2", sid, ".png")).convert("RGB"))
+        raw_hw = img.shape[:2]
+        pts = pointcloud.get_lidar_point_cloud(
+            self._path("velodyne", sid, ".bin"), cal, raw_hw
+        )
+        plane_path = self._path("planes", sid, ".txt")
+        if os.path.exists(plane_path):
+            plane = labels_mod.read_ground_plane(plane_path)
+        else:
+            plane = labels_mod.default_ground_plane()
+        gt = labels_mod.filter_labels_by_class(
+            labels_mod.read_labels(self._path("label_2", sid, ".txt")),
+            mc.classes,
+        )
+
+        if augment_seed is not None:
+            rng = np.random.RandomState(augment_seed)
+            if self.cfg.aug_flip and rng.rand() < 0.5:
+                img, pts, cal, gt = aug.flip_sample(img, pts, cal, gt)
+            if self.cfg.aug_pca_jitter:
+                img = aug.pca_jitter(img, rng)
+
+        # image -> fixed canvas (resize; P2 scales with it)
+        sy = mc.image.height / raw_hw[0]
+        sx = mc.image.width / raw_hw[1]
+        img_canvas = np.asarray(
+            Image.fromarray(img).resize(
+                (mc.image.width, mc.image.height), Image.BILINEAR
+            )
+        )
+        p2 = cal.p2.astype(np.float32).copy()
+        p2[0] *= sx
+        p2[1] *= sy
+
+        pts = pointcloud.filter_to_area_extents(pts, self.extents)
+        padded, mask = pointcloud.pad_or_subsample(
+            pts.astype(np.float32), mc.sparse_pool.max_points,
+            seed=int(sid) if sid.isdigit() else 0,
+        )
+
+        gt_boxes = np.zeros((MAX_GT_BOXES, 7), np.float32)
+        gt_valid = np.zeros((MAX_GT_BOXES,), bool)
+        gt_cls = np.zeros((MAX_GT_BOXES,), np.int32)
+        for i, ob in enumerate(gt[:MAX_GT_BOXES]):
+            gt_boxes[i] = ob.box_3d()
+            gt_valid[i] = True
+            gt_cls[i] = self.class_to_idx[ob.type]
+
+        return HostSample(
+            sample_id=sid,
+            points=padded,
+            points_mask=mask,
+            image=img_canvas.astype(np.uint8),
+            p2=p2,
+            ground_plane=plane.astype(np.float32),
+            gt_boxes_3d=gt_boxes,
+            gt_valid=gt_valid,
+            gt_classes=gt_cls,
+            raw_image_hw=raw_hw,
+        )
+
+    # ------------------------------------------------------------ iteration
+    def epoch_ids(self, epoch: int) -> List[str]:
+        ids = list(self.sample_ids)
+        if self.cfg.shuffle:
+            np.random.RandomState(self.cfg.seed + epoch).shuffle(ids)
+        return ids
+
+    def batches(
+        self, batch_size: int, epoch: int = 0, augment: bool = True
+    ) -> Iterator[tuple]:
+        """Yield (stacked arrays tuple, sample_ids) per batch; drops the
+        ragged tail batch (static shapes)."""
+
+        ids = self.epoch_ids(epoch)
+        for start in range(0, len(ids) - batch_size + 1, batch_size):
+            chunk = ids[start : start + batch_size]
+            samples = [
+                self.load_sample(
+                    sid,
+                    augment_seed=(
+                        (self.cfg.seed + epoch) * 100003 + int(sid)
+                        if augment and sid.isdigit()
+                        else (self.cfg.seed + epoch if augment else None)
+                    ),
+                )
+                for sid in chunk
+            ]
+            stacked = tuple(
+                np.stack([s.as_arrays()[i] for s in samples])
+                for i in range(8)
+            )
+            yield stacked, chunk

@@ -1,0 +1,68 @@
+"""Double-buffered host -> device input pipeline.
+
+The reference's hot loop is host-bound: ``feed_dict`` rebuilds BEV maps and
+sparse matrices in numpy and re-uploads them every ``sess.run`` (SURVEY.md
+§4.1). Here the host work is only file IO + resize + pad (``data.dataset``),
+and this module overlaps it with device compute: a worker thread loads and
+``jax.device_put``s batch n+1..n+depth while the device runs batch n. With
+the ~0.3 GB/s tunneled transfer measured on this host, overlap hides the
+~3 ms/frame upload entirely.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import jax
+
+
+class DevicePrefetcher:
+    """Wrap a host batch iterator; yields device-resident batches."""
+
+    def __init__(
+        self,
+        host_iter: Iterator,
+        depth: int = 2,
+        transform: Optional[Callable] = None,
+        sharding=None,
+    ):
+        self._iter = host_iter
+        self._transform = transform
+        self._sharding = sharding
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for item in self._iter:
+                if self._transform is not None:
+                    item = self._transform(item)
+                if self._sharding is not None:
+                    arrays, meta = item
+                    arrays = jax.device_put(arrays, self._sharding)
+                    item = (arrays, meta)
+                else:
+                    arrays, meta = item
+                    arrays = jax.device_put(arrays)
+                    item = (arrays, meta)
+                self._q.put(item)
+        except BaseException as e:  # surface loader errors to the consumer
+            self._err = e
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

@@ -1,0 +1,16 @@
+from sparse_pooling_tpu.models import backbone, detector, fusion, loss, pipeline
+from sparse_pooling_tpu.models.detector import SparsePoolingDetector, decode_detections
+from sparse_pooling_tpu.models.pipeline import RawSample, forward_batch, make_model
+
+__all__ = [
+    "backbone",
+    "detector",
+    "fusion",
+    "loss",
+    "pipeline",
+    "SparsePoolingDetector",
+    "decode_detections",
+    "RawSample",
+    "forward_batch",
+    "make_model",
+]

@@ -1,0 +1,108 @@
+"""VGG-pyramid feature extractors (flax).
+
+Capability parity with the reference's
+``avod/core/feature_extractors/{bev,img}_vgg_pyramid.py``: a VGG-style
+encoder (2-2-3-3 conv stages with 2x max-pool between) and a decoder that
+upsamples back to full resolution with skip concatenation, finishing with a
+1x1 bottleneck conv to a compact channel count. BEV and image branches are
+two instances with different input channels (SURVEY.md §3.4 'Feature
+extractors').
+
+TPU-first: bfloat16 compute / fp32 params, channels-last NHWC (XLA TPU
+native), transposed-conv upsampling (maps to MXU), no BatchNorm (the
+reference's VGG is norm-free; staying norm-free keeps the module
+vmap/batch-size agnostic).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class VggEncoder(nn.Module):
+    """VGG encoder; returns per-stage feature maps (last one is the 'mid'
+    representation where SHPL fusion applies, at stride 2^(stages-1))."""
+
+    channels: Sequence[int]
+    blocks: Sequence[int]
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        skips = []
+        for stage, (ch, nb) in enumerate(zip(self.channels, self.blocks)):
+            if stage > 0:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            for b in range(nb):
+                x = nn.Conv(
+                    ch, (3, 3), padding="SAME", dtype=self.dtype,
+                    name=f"conv{stage + 1}_{b + 1}",
+                )(x)
+                x = nn.relu(x)
+            skips.append(x)
+        return skips
+
+
+class PyramidDecoder(nn.Module):
+    """Upsample the fused mid features back to full resolution with skips.
+
+    Mirrors the reference pyramid: at each level, transposed-conv 2x up,
+    concat the encoder skip, then a 3x3 conv to the skip's width. A final
+    1x1 conv bottlenecks to ``out_channels``.
+    """
+
+    channels: Sequence[int]  # encoder stage widths (for skip-level conv sizes)
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, mid, skips):
+        x = mid
+        for level in range(len(self.channels) - 2, -1, -1):
+            ch = self.channels[level]
+            x = nn.ConvTranspose(
+                ch, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype,
+                name=f"upconv{level + 1}",
+            )(x)
+            x = nn.relu(x)
+            x = jnp.concatenate([x, skips[level]], axis=-1)
+            x = nn.Conv(
+                ch, (3, 3), padding="SAME", dtype=self.dtype,
+                name=f"pyramid_fusion{level + 1}",
+            )(x)
+            x = nn.relu(x)
+        x = nn.Conv(
+            self.out_channels, (1, 1), dtype=self.dtype, name="bottleneck"
+        )(x)
+        return x
+
+
+class VggPyramidExtractor(nn.Module):
+    """Encoder + decoder pair for one branch, exposing the mid features.
+
+    ``__call__`` runs the encoder only (so the caller can fuse mid features
+    across branches before decoding); ``decode`` finishes the pyramid.
+    """
+
+    channels: Sequence[int]
+    blocks: Sequence[int]
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.encoder = VggEncoder(self.channels, self.blocks, self.dtype)
+        self.decoder = PyramidDecoder(self.channels, self.out_channels, self.dtype)
+
+    def encode(self, x) -> Tuple[jnp.ndarray, list]:
+        skips = self.encoder(x.astype(self.dtype))
+        return skips[-1], skips[:-1]
+
+    def decode(self, mid, skips):
+        return self.decoder(mid, skips)
+
+    def __call__(self, x):
+        mid, skips = self.encode(x)
+        return self.decode(mid, skips)

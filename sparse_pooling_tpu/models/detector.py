@@ -1,0 +1,255 @@
+"""The SHPL fusion detector: two-branch backbone + RPN + AVOD-style stage 2.
+
+Capability parity with the reference's model stack
+(``avod/core/models/rpn_model.py`` + ``avod/core/models/avod_model.py`` with
+the SHPL fusion extractor, SURVEY.md §3.5/§4.1):
+
+  * two VGG-pyramid branches (BEV 6-channel raster, FV RGB image),
+  * SHPL sparse cross-view pooling between the branches mid-backbone,
+  * path-drop regularization (randomly zero one branch, never both),
+  * RPN: project anchors to both views, 3x3 crop-and-resize ROI per view,
+    mean-fuse, small head -> objectness + 6-d offsets, top-k + BEV NMS ->
+    proposals,
+  * stage 2: 7x7 ROI crops on proposals in both views, fuse, 3 FC layers
+    with dropout -> per-class scores, 10-d box_4c regression, orientation
+    vector; decode + final per-class BEV NMS.
+
+TPU-first: the module runs ONE sample with static shapes end-to-end
+(fixed anchor cap, fixed NMS sizes, validity masks everywhere); the train
+step vmaps it over the batch with shared params. All dense compute is
+bfloat16 on the MXU; geometry stays fp32 on the VPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sparse_pooling_tpu.configs.config import AreaExtents, ModelConfig
+from sparse_pooling_tpu.models.backbone import VggPyramidExtractor
+from sparse_pooling_tpu.models.fusion import SparsePoolFusion
+from sparse_pooling_tpu.ops import encoders, projection
+from sparse_pooling_tpu.ops.crop_resize import crop_and_resize
+from sparse_pooling_tpu.ops.nms import nms, top_k_nms
+from sparse_pooling_tpu.ops.sparse_build import DeviceCoo
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.backbone.compute_dtype == "bfloat16" else jnp.float32
+
+
+class RpnHead(nn.Module):
+    """ROI-fused proposal head (reference rpn_model conv/FC layers)."""
+
+    fusion_channels: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, rois):  # [A, S, S, C] fused ROI features
+        a = rois.shape[0]
+        x = rois.reshape(a, -1).astype(self.dtype)
+        x = nn.relu(nn.Dense(self.fusion_channels, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(nn.Dense(self.fusion_channels, dtype=self.dtype, name="fc2")(x))
+        objectness = nn.Dense(2, dtype=jnp.float32, name="objectness")(x)
+        offsets = nn.Dense(6, dtype=jnp.float32, name="offsets")(x)
+        return objectness.astype(jnp.float32), offsets.astype(jnp.float32)
+
+
+class Stage2Head(nn.Module):
+    """AVOD second-stage head: 3 FCs -> cls / box_4c / orientation."""
+
+    fc_layers: tuple
+    num_classes: int
+    keep_dropout_prob: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, rois, train: bool):
+        p = rois.shape[0]
+        x = rois.reshape(p, -1).astype(self.dtype)
+        for i, width in enumerate(self.fc_layers):
+            x = nn.relu(nn.Dense(width, dtype=self.dtype, name=f"fc{i + 1}")(x))
+            x = nn.Dropout(
+                rate=1.0 - self.keep_dropout_prob, deterministic=not train
+            )(x)
+        cls_logits = nn.Dense(self.num_classes + 1, dtype=jnp.float32, name="cls")(x)
+        box4c_offsets = nn.Dense(10, dtype=jnp.float32, name="box4c")(x)
+        orientation = nn.Dense(2, dtype=jnp.float32, name="orientation")(x)
+        return (
+            cls_logits.astype(jnp.float32),
+            box4c_offsets.astype(jnp.float32),
+            orientation.astype(jnp.float32),
+        )
+
+
+class SparsePoolingDetector(nn.Module):
+    """Single-sample two-branch fusion detector (vmap over batch outside)."""
+
+    cfg: ModelConfig
+    extents: AreaExtents = AreaExtents()
+
+    def setup(self):
+        c = self.cfg
+        dt = _dtype(c)
+        self.bev_extractor = VggPyramidExtractor(
+            c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
+        )
+        self.img_extractor = VggPyramidExtractor(
+            c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
+        )
+        mid_ch = c.backbone.channels[-1]
+        self.bev_fusion = SparsePoolFusion(mid_ch, dt)
+        if c.sparse_pool.bev_to_img:
+            self.img_fusion = SparsePoolFusion(mid_ch, dt)
+        self.rpn_head = RpnHead(c.rpn.fusion_channels, dt)
+        self.stage2_head = Stage2Head(
+            c.avod.fc_layers, c.num_classes, c.avod.keep_dropout_prob, dt
+        )
+
+    def __call__(
+        self,
+        inputs: Dict[str, Any],
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """inputs (single sample):
+          bev_input [Hb, Wb, 6] f32      image [Hi, Wi, 3] f32
+          m_bev, m_fv: DeviceCoo         p2 [3, 4] canvas-scaled
+          anchors [A, 8] f32             anchor_valid [A] bool
+          path_keep [2] f32 in {0,1}     (bev, img) branch keep flags
+        """
+
+        c = self.cfg
+        ext = self.extents
+        img_hw = (c.image.height, c.image.width)
+        bev_keep = inputs["path_keep"][0]
+        img_keep = inputs["path_keep"][1]
+
+        # ---------------- backbones + SHPL fusion
+        bev_mid, bev_skips = self.bev_extractor.encode(inputs["bev_input"])
+        img_mid, img_skips = self.img_extractor.encode(inputs["image"])
+
+        m_bev: DeviceCoo = inputs["m_bev"]
+        m_fv: DeviceCoo = inputs["m_fv"]
+        # path-drop: a dropped branch contributes zeros everywhere downstream
+        bev_mid_k = bev_mid * bev_keep.astype(bev_mid.dtype)
+        img_mid_k = img_mid * img_keep.astype(img_mid.dtype)
+
+        bev_mid_f = self.bev_fusion(bev_mid_k, img_mid_k, m_bev)
+        if c.sparse_pool.bev_to_img:
+            img_mid_f = self.img_fusion(img_mid_k, bev_mid_k, m_fv)
+        else:
+            img_mid_f = img_mid_k
+
+        bev_feat = self.bev_extractor.decode(bev_mid_f, bev_skips)
+        img_feat = self.img_extractor.decode(img_mid_f, img_skips)
+        bev_feat = bev_feat * bev_keep.astype(bev_feat.dtype)
+        img_feat = img_feat * img_keep.astype(img_feat.dtype)
+
+        # ---------------- RPN
+        anchors = inputs["anchors"][:, :6]
+        anchor_valid = inputs["anchor_valid"]
+        bev_boxes = projection.project_to_bev(anchors, ext)
+        img_boxes = projection.project_to_image_space(anchors, inputs["p2"], img_hw)
+
+        s = c.rpn.proposal_roi_size
+        bev_rois = crop_and_resize(bev_feat, bev_boxes, (s, s))
+        img_rois = crop_and_resize(img_feat, img_boxes, (s, s))
+        denom = jnp.maximum(bev_keep + img_keep, 1.0)
+        rois = (bev_rois.astype(jnp.float32) + img_rois.astype(jnp.float32)) / denom
+
+        objectness, offsets = self.rpn_head(rois)
+        proposals_all = encoders.offset_to_anchor(anchors, offsets)
+        scores_all = jax.nn.softmax(objectness, axis=-1)[:, 1]
+        scores_all = jnp.where(anchor_valid, scores_all, -jnp.inf)
+
+        nms_size = c.rpn.train_nms_size if train else c.rpn.eval_nms_size
+        prop_bev_all = projection.project_to_bev(proposals_all, ext)
+        sel = top_k_nms(
+            prop_bev_all, scores_all, nms_size,
+            iou_threshold=c.rpn.nms_iou_thresh, pre_top_k=c.rpn.pre_nms_top_k,
+        )
+        proposals = jnp.take(proposals_all, sel.indices, axis=0)
+        proposal_scores = jnp.where(
+            sel.valid, jnp.take(scores_all, sel.indices), 0.0
+        )
+
+        # ---------------- stage 2
+        prop_bev = projection.project_to_bev(proposals, ext)
+        prop_img = projection.project_to_image_space(proposals, inputs["p2"], img_hw)
+        s2 = c.avod.roi_size
+        bev_rois2 = crop_and_resize(bev_feat, prop_bev, (s2, s2))
+        img_rois2 = crop_and_resize(img_feat, prop_img, (s2, s2))
+        if c.avod.fusion_method == "concat":
+            rois2 = jnp.concatenate(
+                [bev_rois2.astype(jnp.float32), img_rois2.astype(jnp.float32)], axis=-1
+            )
+        else:
+            rois2 = (
+                bev_rois2.astype(jnp.float32) + img_rois2.astype(jnp.float32)
+            ) / denom
+        cls_logits, box4c_offsets, orientation = self.stage2_head(rois2, train)
+
+        return {
+            "objectness": objectness,  # [A, 2]
+            "rpn_offsets": offsets,  # [A, 6]
+            "anchors": inputs["anchors"],  # [A, 8]
+            "anchor_valid": anchor_valid,  # [A]
+            "proposals": proposals,  # [P, 6]
+            "proposal_scores": proposal_scores,  # [P]
+            "proposal_valid": sel.valid,  # [P]
+            "cls_logits": cls_logits,  # [P, C+1]
+            "box4c_offsets": box4c_offsets,  # [P, 10]
+            "orientation": orientation,  # [P, 2]
+        }
+
+
+def decode_detections(
+    outputs: Dict[str, jnp.ndarray],
+    ground_plane: jnp.ndarray,
+    cfg: ModelConfig,
+    extents: AreaExtents = AreaExtents(),
+) -> Dict[str, jnp.ndarray]:
+    """Stage-2 decode + final per-class BEV NMS (reference avod_model decode).
+
+    Returns fixed-size per-class detections:
+      boxes_3d [C, K, 7], scores [C, K], valid [C, K]
+    """
+
+    proposals = outputs["proposals"]
+    plane = ground_plane
+    prop_box3d = encoders.anchor_to_box_3d(proposals)
+    prop_4c = encoders.box_3d_to_box_4c(prop_box3d, plane)
+    final_4c = encoders.offsets_to_box_4c(prop_4c, outputs["box4c_offsets"])
+    boxes_3d = encoders.box_4c_to_box_3d(final_4c, plane)
+
+    # orientation resolution: flip ry by pi toward the predicted heading
+    theta = encoders.vector_to_angle(outputs["orientation"])
+    ry = boxes_3d[:, 6]
+    delta = jnp.mod(ry - theta + jnp.pi, 2 * jnp.pi) - jnp.pi
+    ry = jnp.where(jnp.abs(delta) > jnp.pi / 2, ry - jnp.sign(delta) * jnp.pi, ry)
+    boxes_3d = boxes_3d.at[:, 6].set(ry)
+
+    probs = jax.nn.softmax(outputs["cls_logits"], axis=-1)  # [P, C+1]
+    bev_boxes = projection.project_to_bev(
+        encoders.box_3d_to_anchor(boxes_3d), extents
+    )
+
+    k = cfg.avod.nms_size
+    all_boxes, all_scores, all_valid = [], [], []
+    for ci in range(cfg.num_classes):
+        scores = jnp.where(
+            outputs["proposal_valid"], probs[:, ci + 1], -jnp.inf
+        )
+        res = nms(bev_boxes, scores, k, iou_threshold=cfg.avod.nms_iou_thresh)
+        cls_scores = jnp.where(res.valid, jnp.take(scores, res.indices), 0.0)
+        all_boxes.append(jnp.take(boxes_3d, res.indices, axis=0))
+        all_scores.append(cls_scores)
+        all_valid.append(res.valid & (cls_scores > 0))
+    return {
+        "boxes_3d": jnp.stack(all_boxes),  # [C, K, 7]
+        "scores": jnp.stack(all_scores),  # [C, K]
+        "valid": jnp.stack(all_valid),  # [C, K]
+    }

@@ -1,0 +1,47 @@
+"""SHPL fusion layer (graph side) — the novel op wired into the backbone.
+
+Capability parity with the reference's fusion feature extractor (fork code,
+``feature_extractors/fusion_vgg_pyramid.py``-style): sparse-pool the other
+branch's mid features onto this branch's lattice, concatenate with the
+native features, and mix with a 1x1 conv + ReLU
+(``tf.sparse_tensor_dense_matmul`` -> concat -> conv in the reference,
+SURVEY.md §4.5).
+
+The pooling itself is parameter-free (``ops.sparse_pool``); this module owns
+the 1x1 mixing conv. Operates on single-sample [H, W, C] maps (the detector
+vmaps over the batch).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sparse_pooling_tpu.ops.sparse_build import DeviceCoo
+from sparse_pooling_tpu.ops.sparse_pool import sparse_pool_coo
+
+
+class SparsePoolFusion(nn.Module):
+    """Fuse source-view features into the target view's lattice."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, native: jnp.ndarray, source: jnp.ndarray, coo: DeviceCoo):
+        """native [Ht, Wt, C], source [Hs, Ws, C] -> fused [Ht, Wt, out].
+
+        The COO weights stay fp32 (bilinear weights lose too much in bf16);
+        pooled features are cast back to the compute dtype for the conv.
+        """
+
+        ht, wt = coo.target_hw
+        hs, ws = coo.source_hw
+        src_flat = source.reshape(hs * ws, source.shape[-1]).astype(jnp.float32)
+        pooled = sparse_pool_coo(
+            src_flat, coo.rows, coo.cols, coo.vals, num_targets=ht * wt
+        )
+        pooled_map = pooled.reshape(ht, wt, -1).astype(self.dtype)
+        x = jnp.concatenate([native.astype(self.dtype), pooled_map], axis=-1)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="mix1x1")(x)
+        return nn.relu(x)

@@ -1,0 +1,180 @@
+"""Per-frame compiled pipeline assembly.
+
+Composes the full per-frame graph the north-star demands — voxelize ->
+project/fuse -> backbone -> heads -> NMS — as ONE jittable function from raw
+device inputs (padded points, uint8 image, calibration, plane) to model
+outputs. The reference splits this across host numpy (BEV maps, sparse
+matrices: ``kitti_utils``) and the TF graph; here everything after file IO
+runs on device (SURVEY.md §4.1 hot-loop redesign).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_pooling_tpu.configs.config import AreaExtents, ModelConfig
+from sparse_pooling_tpu.models.detector import SparsePoolingDetector
+from sparse_pooling_tpu.ops import anchors as anchor_ops
+from sparse_pooling_tpu.ops import bev_device, sparse_build
+
+
+class RawSample(NamedTuple):
+    """Per-frame device inputs (all static shapes; batch adds a lead axis)."""
+
+    points: jnp.ndarray  # [P, 3] f32 cam-frame, zero-padded
+    points_mask: jnp.ndarray  # [P] bool
+    image: jnp.ndarray  # [Hi, Wi, 3] uint8 canvas
+    p2: jnp.ndarray  # [3, 4] f32 canvas-scaled
+    ground_plane: jnp.ndarray  # [4] f32
+    gt_boxes_3d: jnp.ndarray  # [G, 7] f32 padded
+    gt_valid: jnp.ndarray  # [G] bool
+    gt_classes: jnp.ndarray  # [G] int32
+
+
+def static_anchor_grid(cfg: ModelConfig, extents: AreaExtents) -> np.ndarray:
+    """Compile-time anchor constant [N, 8] with y=0 (filled per frame)."""
+
+    plane0 = np.array([0.0, -1.0, 0.0, 0.0])
+    return anchor_ops.generate_anchors_np(cfg.anchors, extents, plane0).astype(
+        np.float32
+    )
+
+
+def anchors_with_ground_y(anchors_static: jnp.ndarray, plane: jnp.ndarray):
+    """Set each anchor's y from the frame's ground plane (device)."""
+
+    a, b, c, d = plane[0], plane[1], plane[2], plane[3]
+    x, z = anchors_static[:, 0], anchors_static[:, 2]
+    y = -(a * x + c * z + d) / b
+    return anchors_static.at[:, 1].set(y)
+
+
+def make_model(cfg: ModelConfig, extents: AreaExtents = AreaExtents()):
+    expected_stride = 2 ** (len(cfg.backbone.channels) - 1)
+    if cfg.sparse_pool.fusion_stride != expected_stride:
+        raise ValueError(
+            "sparse_pool.fusion_stride must equal the encoder's final stride "
+            f"2^(stages-1) = {expected_stride}, got {cfg.sparse_pool.fusion_stride}"
+        )
+    bh, bw = cfg.bev.padded_hw(extents)
+    s = cfg.sparse_pool.fusion_stride
+    for name, (h, w) in {"bev": (bh, bw), "image": (cfg.image.height, cfg.image.width)}.items():
+        if h % s or w % s:
+            raise ValueError(f"{name} lattice {h}x{w} not divisible by stride {s}")
+    return SparsePoolingDetector(cfg=cfg, extents=extents)
+
+
+def build_model_inputs(
+    raw: RawSample,
+    anchors_static: jnp.ndarray,
+    path_keep: jnp.ndarray,
+    cfg: ModelConfig,
+    extents: AreaExtents,
+) -> Dict[str, Any]:
+    """Raw device inputs -> model input dict (single sample, in-graph)."""
+
+    bev_input = bev_device.bev_maps_from_points(
+        raw.points, raw.points_mask, raw.ground_plane, extents, cfg.bev
+    )
+    image = raw.image.astype(jnp.float32) / 255.0
+
+    m_bev, m_fv = sparse_build.build_coo_device(
+        raw.points, raw.points_mask, raw.p2, extents, cfg.bev, cfg.image,
+        cfg.sparse_pool,
+    )
+
+    counts = bev_device.bev_counts_from_points(
+        raw.points, raw.points_mask, extents, cfg.bev.voxel_size
+    )
+    anchors_frame = anchors_with_ground_y(anchors_static, raw.ground_plane)
+    filtered = anchor_ops.filter_anchors_device(
+        anchors_frame, counts, extents, cfg.bev,
+        max_anchors=cfg.anchors.max_anchors,
+        density_threshold=cfg.anchors.density_threshold,
+    )
+
+    return {
+        "bev_input": bev_input,
+        "image": image,
+        "m_bev": m_bev,
+        "m_fv": m_fv,
+        "anchors": filtered.anchors,
+        "anchor_valid": filtered.valid,
+        "p2": raw.p2,
+        "path_keep": path_keep,
+    }
+
+
+def sample_path_keep(rng: jax.Array, cfg: ModelConfig) -> jnp.ndarray:
+    """Path-drop flags (reference rpn_model path-drop): keep each branch with
+    its configured probability, but never drop both."""
+
+    if not cfg.path_drop.enabled:
+        return jnp.ones((2,), jnp.float32)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    bev = jax.random.uniform(r1) < cfg.path_drop.bev_keep_prob
+    img = jax.random.uniform(r2) < cfg.path_drop.img_keep_prob
+    neither = ~(bev | img)
+    # if both dropped, revive one at random (reference picks one branch)
+    revive_bev = jax.random.uniform(r3) < 0.5
+    bev = bev | (neither & revive_bev)
+    img = img | (neither & ~revive_bev)
+    return jnp.stack([bev, img]).astype(jnp.float32)
+
+
+def forward_single(
+    model: SparsePoolingDetector,
+    params,
+    raw: RawSample,
+    anchors_static: jnp.ndarray,
+    cfg: ModelConfig,
+    extents: AreaExtents,
+    train: bool,
+    rng: jax.Array = None,
+):
+    """One sample end-to-end: raw inputs -> model outputs (jit-friendly)."""
+
+    if train:
+        rng_path, rng_drop = jax.random.split(rng)
+        path_keep = sample_path_keep(rng_path, cfg)
+        rngs = {"dropout": rng_drop}
+    else:
+        path_keep = jnp.ones((2,), jnp.float32)
+        rngs = {}
+    inputs = build_model_inputs(raw, anchors_static, path_keep, cfg, extents)
+    return model.apply(params, inputs, train=train, rngs=rngs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "cfg", "extents", "train")
+)
+def forward_batch(
+    model: SparsePoolingDetector,
+    params,
+    batch: RawSample,  # leading batch axis on every field
+    anchors_static: jnp.ndarray,
+    cfg: ModelConfig,
+    extents: AreaExtents,
+    train: bool = False,
+    rng: jax.Array = None,
+):
+    """vmapped batch forward with shared params."""
+
+    b = batch.points.shape[0]
+    if train:
+        rngs = jax.random.split(rng, b)
+    else:
+        rngs = jnp.zeros((b, 2), jnp.uint32)
+
+    def one(raw, r):
+        return forward_single(
+            model, params, raw, anchors_static, cfg, extents, train,
+            r if train else None,
+        )
+
+    return jax.vmap(one)(batch, rngs)

@@ -84,6 +84,33 @@ def bev_maps_from_points(
     return jnp.pad(out, ((0, cfg.pad_h), (0, 0), (0, 0)))
 
 
+@functools.partial(jax.jit, static_argnames=("extents", "voxel_size"))
+def bev_counts_from_points(
+    points: jnp.ndarray,  # [P, 3]
+    mask: jnp.ndarray,  # [P]
+    extents: AreaExtents,
+    voxel_size: float,
+) -> jnp.ndarray:
+    """Per-cell point counts [H, W] (the anchor filter's occupancy raster)."""
+
+    h = int(round((extents.z_max - extents.z_min) / voxel_size))
+    w = int(round((extents.x_max - extents.x_min) / voxel_size))
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    valid = (
+        mask
+        & (x >= extents.x_min) & (x < extents.x_max)
+        & (y >= extents.y_min) & (y < extents.y_max)
+        & (z >= extents.z_min) & (z < extents.z_max)
+    )
+    col = jnp.clip(jnp.floor((x - extents.x_min) / voxel_size).astype(jnp.int32), 0, w - 1)
+    row = jnp.clip(jnp.floor((z - extents.z_min) / voxel_size).astype(jnp.int32), 0, h - 1)
+    lin = jnp.where(valid, row * w + col, h * w)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(lin, jnp.float32), lin, num_segments=h * w + 1
+    )[: h * w]
+    return counts.reshape(h, w)
+
+
 def bev_maps_batch(points, mask, ground_plane, extents, cfg):
     """vmapped batch variant: [B, P, 3], [B, P], [B, 4] -> [B, H+pad, W, C]."""
 

@@ -22,8 +22,9 @@ rows are normalized with an on-device segment-sum of weights.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -35,14 +36,19 @@ from sparse_pooling_tpu.configs.config import (
 )
 
 
-class DeviceCoo(NamedTuple):
-    """One pooling direction on device. Invalid entries carry weight 0."""
+@flax.struct.dataclass
+class DeviceCoo:
+    """One pooling direction on device. Invalid entries carry weight 0.
+
+    The lattice shapes are static metadata (pytree aux data), so they stay
+    concrete Python ints under jit/vmap.
+    """
 
     rows: jnp.ndarray  # [N] int32 target linear index
     cols: jnp.ndarray  # [N] int32 source linear index
     vals: jnp.ndarray  # [N] f32 row-normalized weights
-    target_hw: Tuple[int, int]
-    source_hw: Tuple[int, int]
+    target_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
+    source_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
 
 
 def _bilinear_expand(target_idx, src_u, src_v, valid, source_hw):

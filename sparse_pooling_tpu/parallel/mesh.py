@@ -1,0 +1,75 @@
+"""Device mesh and sharding layout.
+
+The reference is single-process single-GPU (SURVEY.md §3.9: no DP/TP/PP/SP,
+no NCCL/MPI). The TPU-native scaling answer is ``jax.sharding`` over an ICI
+mesh:
+
+  * **data axis** — batch sharding (the only parallelism this VGG-scale
+    workload needs; gradients all-reduce over ICI via the compiler).
+  * **model axis** — optional tensor parallelism for the stage-2 FC stack
+    (the one place wide matmuls make TP worthwhile); kept dimension-1 by
+    default but fully wired so multi-chip topologies can enable it.
+
+No custom collectives: XLA inserts psum/all-gather from the shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    use = n_data * n_model
+    grid = np.array(devices[:use]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis of every input over the data axis."""
+
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding_rules(path: str, shape) -> P:
+    """Tensor-parallel layout: stage-2 FC kernels split on the output
+    feature dim, matching biases split likewise; everything else replicated.
+
+    With mesh model-dim 1 these specs are no-ops; on a (data, model) mesh
+    XLA shards the 2048-wide FC matmuls and all-gathers at the head outputs.
+    """
+
+    if "stage2_head" in path and "/fc" in path:
+        if path.endswith("kernel"):
+            return P(None, MODEL_AXIS)
+        if path.endswith("bias"):
+            return P(MODEL_AXIS)
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Apply ``param_sharding_rules`` across a flax param pytree."""
+
+    def place(path_tuple, leaf):
+        path = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path_tuple)
+        spec = param_sharding_rules(path, leaf.shape)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

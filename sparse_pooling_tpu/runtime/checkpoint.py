@@ -1,0 +1,49 @@
+"""Checkpoint save/restore (orbax).
+
+Capability parity with the reference's ``tf.train.Saver`` usage
+(``trainer_utils``): save every checkpoint_interval steps with a large keep
+count so the evaluator can sweep all of them; resume from latest on restart
+(the reference's only fault-tolerance mechanism, SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import orbax.checkpoint as ocp
+
+
+def _manager(ckpt_dir: str, keep: int = 10000) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
+    )
+
+
+def save(ckpt_dir: str, step: int, state: Dict[str, Any], keep: int = 10000):
+    mgr = _manager(ckpt_dir, keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def restore(ckpt_dir: str, step: int, template: Dict[str, Any]) -> Dict[str, Any]:
+    mgr = _manager(ckpt_dir)
+    out = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    mgr.close()
+    return out
+
+
+def all_steps(ckpt_dir: str) -> List[int]:
+    if not os.path.isdir(ckpt_dir):
+        return []
+    mgr = _manager(ckpt_dir)
+    steps = sorted(mgr.all_steps())
+    mgr.close()
+    return steps
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    steps = all_steps(ckpt_dir)
+    return steps[-1] if steps else None

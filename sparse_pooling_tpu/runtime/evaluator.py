@@ -1,0 +1,180 @@
+"""Evaluation runtime: checkpoint sweep -> KITTI predictions -> AP.
+
+Capability parity with the reference's ``avod/core/evaluator.py``:
+``run_checkpoint_once`` restores one checkpoint, runs the val split, writes
+KITTI-format predictions under
+``<workdir>/predictions/kitti_native_eval/<score_thresh>/<step>/data/`` and
+computes AP; ``repeated_checkpoint_run`` watches the checkpoint dir and
+evaluates every new checkpoint, tracking already-evaluated steps in a txt
+bookkeeping file (idempotent sweep, SURVEY.md §6 failure-detection row).
+
+AP comes from the native C++ evaluator (``native/kitti_eval``) when its
+shared library is built, else the numpy oracle (``runtime.metrics``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_pooling_tpu.configs.config import AreaExtents, PipelineConfig
+from sparse_pooling_tpu.data.dataset import KittiDataset
+from sparse_pooling_tpu.models import pipeline as pl
+from sparse_pooling_tpu.models.detector import decode_detections
+from sparse_pooling_tpu.runtime import checkpoint as ckpt_mod
+from sparse_pooling_tpu.runtime import metrics as metrics_mod
+from sparse_pooling_tpu.runtime import predictions as pred_mod
+from sparse_pooling_tpu.runtime.summary import SummaryWriter
+
+
+class Evaluator:
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        dataset: Optional[KittiDataset] = None,
+        extents: AreaExtents = AreaExtents(),
+        workdir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.extents = extents
+        ds_cfg = cfg.dataset
+        self.dataset = dataset or KittiDataset(ds_cfg, cfg.model, extents)
+        self.workdir = workdir or os.path.join(
+            cfg.experiments_dir, cfg.checkpoint_name
+        )
+        self.ckpt_dir = os.path.join(self.workdir, "checkpoints")
+        self.model = pl.make_model(cfg.model, extents)
+        self.anchors_static = jnp.array(pl.static_anchor_grid(cfg.model, extents))
+        self.summary = SummaryWriter(os.path.join(self.workdir, "eval_summaries"))
+        self._eval_fn = None
+
+    # ------------------------------------------------------------ forward
+    def _make_eval_fn(self):
+        cfg, ext = self.cfg.model, self.extents
+
+        @jax.jit
+        def eval_fn(params, raw: pl.RawSample):
+            out = pl.forward_single(
+                self.model, params, raw, self.anchors_static, cfg, ext, False
+            )
+            return decode_detections(out, raw.ground_plane, cfg, ext)
+
+        return eval_fn
+
+    # ------------------------------------------------------------ one ckpt
+    def run_checkpoint_once(self, step: int, params=None) -> Dict:
+        cfg = self.cfg
+        if params is None:
+            template = self._params_template()
+            params = ckpt_mod.restore(self.ckpt_dir, step, {"params": template})[
+                "params"
+            ]
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval_fn()
+
+        thresh = cfg.eval.kitti_score_threshold
+        pred_dir = os.path.join(
+            self.workdir, "predictions", "kitti_native_eval",
+            f"{thresh:g}", str(step), "data",
+        )
+        os.makedirs(pred_dir, exist_ok=True)
+
+        n = 0
+        t0 = time.time()
+        for sid in self.dataset.sample_ids:
+            sample = self.dataset.load_sample(sid, augment_seed=None)
+            raw = pl.RawSample(*(jnp.array(a) for a in sample.as_arrays()))
+            det = self._eval_fn(params, raw)
+            det = jax.tree.map(np.asarray, det)
+            # predictions are written in RAW image coords: rescale P2 back
+            sy = cfg.model.image.height / sample.raw_image_hw[0]
+            sx = cfg.model.image.width / sample.raw_image_hw[1]
+            p2_raw = sample.p2.astype(np.float64).copy()
+            p2_raw[0] /= sx
+            p2_raw[1] /= sy
+            pred_mod.write_predictions(
+                pred_dir, sid, det, cfg.model.classes, p2_raw,
+                sample.raw_image_hw, score_threshold=thresh,
+            )
+            n += 1
+        dt = time.time() - t0
+
+        gt_dir = os.path.join(self.dataset.base, "label_2")
+        ap = self._run_ap(gt_dir, pred_dir)
+        result = {
+            "step": step,
+            "num_frames": n,
+            "seconds": dt,
+            "frames_per_sec": n / max(dt, 1e-9),
+            "ap": ap,
+        }
+        flat = {"eval_fps": result["frames_per_sec"]}
+        for cls, metrics in ap.items():
+            for metric, diffs in metrics.items():
+                for dname, v in diffs.items():
+                    flat[f"AP_{cls}_{metric}_{dname}"] = v
+        self.summary.scalars(step, flat)
+        with open(os.path.join(self.workdir, f"eval_{step}.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        return result
+
+    def _run_ap(self, gt_dir: str, pred_dir: str):
+        try:
+            from sparse_pooling_tpu.native import kitti_eval
+
+            if kitti_eval.available():
+                return kitti_eval.evaluate_dirs(
+                    gt_dir, pred_dir, self.cfg.model.classes
+                )
+        except Exception:
+            pass
+        return metrics_mod.evaluate_dirs(gt_dir, pred_dir, self.cfg.model.classes)
+
+    def _params_template(self):
+        arrays, _ = next(
+            self.dataset.batches(1, 0, augment=False)
+        )
+        raw0 = pl.RawSample(*(jnp.array(a[0]) for a in arrays))
+        rng = jax.random.PRNGKey(0)
+        inputs = pl.build_model_inputs(
+            raw0, self.anchors_static, jnp.ones((2,), jnp.float32),
+            self.cfg.model, self.extents,
+        )
+        return self.model.init({"params": rng, "dropout": rng}, inputs, train=False)
+
+    # ------------------------------------------------------------ sweep
+    def repeated_checkpoint_run(
+        self, poll_seconds: float = 30.0, max_wait: float = 0.0
+    ):
+        """Evaluate every checkpoint as it appears (reference watch loop).
+
+        ``max_wait`` 0 evaluates what exists and returns; > 0 keeps polling
+        until that many seconds pass with no new checkpoint.
+        """
+
+        done_path = os.path.join(self.workdir, "evaluated_steps.txt")
+        done = set()
+        if os.path.exists(done_path):
+            with open(done_path) as f:
+                done = {int(l) for l in f if l.strip()}
+        idle_since = time.time()
+        results = []
+        while True:
+            new = [s for s in ckpt_mod.all_steps(self.ckpt_dir) if s not in done]
+            for step in new:
+                results.append(self.run_checkpoint_once(step))
+                done.add(step)
+                with open(done_path, "a") as f:
+                    f.write(f"{step}\n")
+                idle_since = time.time()
+            if not new:
+                if max_wait <= 0 or time.time() - idle_since > max_wait:
+                    break
+                time.sleep(poll_seconds)
+        return results

@@ -1,0 +1,211 @@
+"""Training runtime: optax optimizer, sharded train step, checkpoint loop.
+
+Capability parity with the reference's ``avod/core/trainer.py`` +
+``trainer_utils.py`` + ``avod/builders/optimizer_builder.py``: Adam with
+exponential-decay LR from config, periodic scalar summaries, periodic
+checkpoints with auto-resume from the latest one. TPU-first differences:
+the whole step (voxelize -> sparse build -> model -> loss -> grads ->
+update) is ONE jitted function, batch-sharded over the mesh's data axis
+(SURVEY.md §3.9), with orbax checkpoints instead of tf.train.Saver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sparse_pooling_tpu.configs.config import AreaExtents, PipelineConfig
+from sparse_pooling_tpu.data.dataset import KittiDataset
+from sparse_pooling_tpu.data.prefetch import DevicePrefetcher
+from sparse_pooling_tpu.models import loss as loss_mod
+from sparse_pooling_tpu.models import pipeline as pl
+from sparse_pooling_tpu.parallel import mesh as mesh_mod
+from sparse_pooling_tpu.runtime import checkpoint as ckpt_mod
+from sparse_pooling_tpu.runtime.summary import SummaryWriter
+
+
+def build_optimizer(cfg: PipelineConfig) -> optax.GradientTransformation:
+    """Adam/SGD/RMSprop + exponential decay (reference optimizer_builder)."""
+
+    oc = cfg.train.optimizer
+    schedule = optax.exponential_decay(
+        init_value=oc.initial_lr,
+        transition_steps=oc.decay_steps,
+        decay_rate=oc.decay_rate,
+        staircase=oc.staircase,
+    )
+    makers = {
+        "adam": optax.adam,
+        "sgd": optax.sgd,
+        "rmsprop": optax.rmsprop,
+    }
+    if oc.name not in makers:
+        raise ValueError(f"unknown optimizer '{oc.name}'")
+    tx = makers[oc.name](schedule)
+    if oc.grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(oc.grad_clip_norm), tx)
+    return tx
+
+
+def make_train_step(model, tx, anchors_static, cfg, extents):
+    """One jitted, batch-vmapped, mesh-shardable training step."""
+
+    mc = cfg.model
+
+    def loss_fn(params, batch: pl.RawSample, rng):
+        b = batch.points.shape[0]
+        rngs = jax.random.split(rng, b)
+
+        def one(raw, r):
+            r_fwd, r_loss = jax.random.split(r)
+            out = pl.forward_single(
+                model, params, raw, anchors_static, mc, extents, True, r_fwd
+            )
+            return loss_mod.detector_loss(
+                out, raw.gt_boxes_3d, raw.gt_valid, raw.gt_classes,
+                raw.ground_plane, r_loss, mc, extents,
+            )
+
+        losses = jax.vmap(one)(batch, rngs)
+        mean_losses = jax.tree.map(lambda x: jnp.mean(x), losses)
+        return mean_losses["total"], mean_losses
+
+    @jax.jit
+    def train_step(params, opt_state, batch, rng):
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int
+    rng: Any
+
+
+class Trainer:
+    """Experiment-directory-owning train loop (reference trainer.train)."""
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        dataset: Optional[KittiDataset] = None,
+        extents: AreaExtents = AreaExtents(),
+        workdir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.extents = extents
+        self.dataset = dataset or KittiDataset(cfg.dataset, cfg.model, extents)
+        self.workdir = workdir or os.path.join(
+            cfg.experiments_dir, cfg.checkpoint_name
+        )
+        self.ckpt_dir = os.path.join(self.workdir, "checkpoints")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        with open(os.path.join(self.workdir, "pipeline_config.json"), "w") as f:
+            f.write(cfg.to_json())
+
+        self.model = pl.make_model(cfg.model, extents)
+        self.anchors_static = jnp.array(pl.static_anchor_grid(cfg.model, extents))
+        self.tx = build_optimizer(cfg)
+        self.summary = SummaryWriter(os.path.join(self.workdir, "summaries"))
+
+    # ------------------------------------------------------------ state
+    def init_state(self, seed: int = 0) -> TrainState:
+        rng = jax.random.PRNGKey(seed)
+        sample_batch = self._first_batch()
+        raw0 = jax.tree.map(lambda x: x[0], sample_batch)
+        inputs = pl.build_model_inputs(
+            raw0, self.anchors_static, jnp.ones((2,), jnp.float32),
+            self.cfg.model, self.extents,
+        )
+        params = self.model.init(
+            {"params": rng, "dropout": rng}, inputs, train=False
+        )
+        opt_state = self.tx.init(params)
+        return TrainState(params, opt_state, 0, rng)
+
+    def _first_batch(self) -> pl.RawSample:
+        arrays, _ = next(self.dataset.batches(self.cfg.train.batch_size, 0, augment=False))
+        return pl.RawSample(*(jnp.array(a) for a in arrays))
+
+    def restore_or_init(self) -> TrainState:
+        state = self.init_state()
+        latest = ckpt_mod.latest_step(self.ckpt_dir)
+        if latest is not None:
+            restored = ckpt_mod.restore(
+                self.ckpt_dir, latest,
+                {"params": state.params, "opt_state": state.opt_state},
+            )
+            state = TrainState(
+                restored["params"], restored["opt_state"], latest, state.rng
+            )
+            print(f"[trainer] resumed from step {latest}")
+        return state
+
+    # ------------------------------------------------------------ loop
+    def train(self, max_steps: Optional[int] = None) -> TrainState:
+        cfg = self.cfg
+        max_steps = max_steps or cfg.train.max_iterations
+        state = self.restore_or_init()
+        train_step = make_train_step(
+            self.model, self.tx, self.anchors_static, cfg, self.extents
+        )
+
+        bsz = cfg.train.batch_size
+        step = state.step
+        params, opt_state, rng = state.params, state.opt_state, state.rng
+        t_last = time.time()
+        epoch = step * bsz // max(len(self.dataset), 1)
+
+        while step < max_steps:
+            host_iter = self.dataset.batches(bsz, epoch, augment=True)
+            prefetch = DevicePrefetcher(
+                host_iter,
+                depth=cfg.train.prefetch_depth,
+                transform=lambda item: (pl.RawSample(*item[0]), item[1]),
+            )
+            for batch, _ids in prefetch:
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, metrics = train_step(
+                    params, opt_state, batch, step_rng
+                )
+                step += 1
+                if step % cfg.train.summary_interval == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    rate = cfg.train.summary_interval * bsz / max(dt, 1e-9)
+                    self.summary.scalars(step, {**metrics, "frames_per_sec": rate})
+                    print(
+                        f"[trainer] step {step} total={metrics['total']:.4f} "
+                        f"rpn_obj={metrics['rpn_objectness']:.4f} "
+                        f"cls={metrics['cls']:.4f} fps={rate:.1f}"
+                    )
+                if step % cfg.train.checkpoint_interval == 0 or step >= max_steps:
+                    ckpt_mod.save(
+                        self.ckpt_dir, step,
+                        {"params": params, "opt_state": opt_state},
+                        keep=cfg.train.max_checkpoints_to_keep,
+                    )
+                if step >= max_steps:
+                    break
+            epoch += 1
+
+        return TrainState(params, opt_state, step, rng)

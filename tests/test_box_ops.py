@@ -1,0 +1,265 @@
+"""Box ops: anchors, encoders, projection, IoU, NMS, crop-resize, losses.
+
+Hand-built numpy golden values in the reference's unit-test style.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_pooling_tpu.configs.config import AnchorConfig, AreaExtents, BevConfig
+from sparse_pooling_tpu.ops import anchors as anch
+from sparse_pooling_tpu.ops import crop_resize, encoders, iou, losses, nms, projection, target_assign
+
+PLANE = np.array([0.0, -1.0, 0.0, 1.65])
+
+
+# ---------------------------------------------------------------- anchors
+
+def test_grid_anchor_generation():
+    cfg = AnchorConfig(sizes=((3.9, 1.6, 1.5),), stride=8.0)
+    ext = AreaExtents()
+    a = anch.generate_anchors_np(cfg, ext, PLANE)
+    n_centers = 10 * 9  # 80/8 x 70/8 (ceil interior tiling)
+    assert a.shape == (n_centers * 2, 8)
+    # y on the ground plane
+    np.testing.assert_allclose(a[:, 1], 1.65)
+    # rotation bin 1 swaps footprint dims
+    rot0 = a[a[:, 6] == 0]
+    rot1 = a[a[:, 6] == 1]
+    np.testing.assert_allclose(rot0[:, 3], 3.9)
+    np.testing.assert_allclose(rot0[:, 5], 1.6)
+    np.testing.assert_allclose(rot1[:, 3], 1.6)
+    np.testing.assert_allclose(rot1[:, 5], 3.9)
+
+
+def test_anchor_filter_device():
+    cfg = AnchorConfig(sizes=((4.0, 2.0, 1.5),), stride=10.0)
+    ext = AreaExtents()
+    bev_cfg = BevConfig(voxel_size=0.5)
+    a = anch.generate_anchors_np(cfg, ext, PLANE)
+    h, w = bev_cfg.grid_hw(ext)
+    occupancy = np.zeros((h, w), np.float32)
+    # one occupied cell at x=-35+5=... place points under exactly one anchor:
+    # anchor centers are at x = -35, -25, ... z = 5, 15, ...
+    r = int((5.0 - ext.z_min) / 0.5)
+    c = int((-35.0 - ext.x_min) / 0.5)
+    occupancy[r, c] = 3
+    res = anch.filter_anchors_device(
+        jnp.array(a, jnp.float32), jnp.array(occupancy), ext, bev_cfg, max_anchors=16
+    )
+    got = np.asarray(res.anchors)[np.asarray(res.valid)]
+    assert got.shape[0] == 2  # both rotations of the anchor over the points
+    np.testing.assert_allclose(got[:, 0], -35.0)
+    np.testing.assert_allclose(got[:, 2], 5.0)
+
+
+# ---------------------------------------------------------------- encoders
+
+def test_box3d_anchor_round_trip():
+    boxes = jnp.array([[1.0, 1.65, 20.0, 3.9, 1.6, 1.5, 0.0],
+                       [-2.0, 1.65, 30.0, 3.9, 1.6, 1.5, np.pi / 2]])
+    a = encoders.box_3d_to_anchor(boxes)
+    np.testing.assert_allclose(np.asarray(a[0]), [1.0, 1.65, 20.0, 3.9, 1.5, 1.6], atol=1e-6)
+    # 90-degree yaw swaps the footprint
+    np.testing.assert_allclose(np.asarray(a[1]), [-2.0, 1.65, 30.0, 1.6, 1.5, 3.9], atol=1e-6)
+    back = encoders.anchor_to_box_3d(a, ry=jnp.array([0.0, np.pi / 2]))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(boxes), atol=1e-6)
+
+
+def test_offset_round_trip(rng):
+    anchors = jnp.array(np.abs(rng.randn(10, 6)) + 1.0)
+    gt = jnp.array(np.abs(rng.randn(10, 6)) + 1.0)
+    off = encoders.anchor_to_offset(anchors, gt)
+    rec = encoders.offset_to_anchor(anchors, off)
+    # fp32 log/exp round trip: ~1e-6 relative noise, amplified by /dim * dim
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(gt), rtol=1e-4, atol=1e-5)
+
+
+def test_offset_zero_for_identical():
+    a = jnp.array([[0.0, 1.0, 10.0, 4.0, 1.5, 2.0]])
+    off = encoders.anchor_to_offset(a, a)
+    np.testing.assert_allclose(np.asarray(off), 0.0, atol=1e-7)
+
+
+def test_orientation_round_trip():
+    ry = jnp.array([0.0, 0.5, -np.pi / 2, 3.0])
+    vec = encoders.angle_to_vector(ry)
+    back = encoders.vector_to_angle(vec)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(ry), atol=1e-6)
+
+
+def test_corners_axis_aligned():
+    box = jnp.array([[0.0, 1.65, 10.0, 4.0, 2.0, 1.5, 0.0]])
+    c = np.asarray(encoders.box_3d_to_corners(box))[0]
+    assert c.shape == (8, 3)
+    np.testing.assert_allclose(sorted(set(np.round(c[:, 0], 5))), [-2.0, 2.0])
+    np.testing.assert_allclose(sorted(set(np.round(c[:, 2], 5))), [-1.0 + 10, 1.0 + 10])
+    np.testing.assert_allclose(sorted(set(np.round(c[:, 1], 5))), [1.65 - 1.5, 1.65])
+
+
+def test_box_4c_round_trip():
+    plane = jnp.array(PLANE)
+    boxes = jnp.array(
+        [
+            [1.0, 1.65, 20.0, 3.9, 1.6, 1.5, 0.3],
+            [-3.0, 1.65, 35.0, 4.2, 1.7, 1.4, -1.2],
+            [0.0, 1.65, 10.0, 3.5, 1.5, 1.6, 0.0],
+        ]
+    )
+    b4c = encoders.box_3d_to_box_4c(boxes, plane)
+    assert b4c.shape == (3, 10)
+    # bottom face on the ground -> h1 = 0, h2 = box height
+    np.testing.assert_allclose(np.asarray(b4c[:, 8]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b4c[:, 9]), np.asarray(boxes[:, 5]), atol=1e-6)
+    back = np.asarray(encoders.box_4c_to_box_3d(b4c, plane))
+    want = np.asarray(boxes)
+    # yaw is recovered modulo pi (box symmetry)
+    dry = np.abs(((back[:, 6] - want[:, 6]) + np.pi / 2) % np.pi - np.pi / 2)
+    np.testing.assert_allclose(back[:, :6], want[:, :6], atol=1e-5)
+    assert dry.max() < 1e-5
+
+
+# ---------------------------------------------------------------- projection
+
+def test_project_to_bev():
+    ext = AreaExtents()
+    a = jnp.array([[0.0, 1.65, 35.0, 4.0, 1.5, 2.0]])
+    bev = np.asarray(projection.project_to_bev(a, ext, normalize=False))[0]
+    np.testing.assert_allclose(bev, [34.0, 38.0, 36.0, 42.0])  # [z1, x1+40, z2, x2+40]
+    bevn = np.asarray(projection.project_to_bev(a, ext, normalize=True))[0]
+    np.testing.assert_allclose(bevn, [34 / 70, 38 / 80, 36 / 70, 42 / 80])
+
+
+def test_project_to_image_space():
+    p2 = jnp.array([[100.0, 0.0, 200.0, 0.0], [0.0, 100.0, 100.0, 0.0], [0.0, 0.0, 1.0, 0.0]])
+    a = jnp.array([[0.0, 1.0, 20.0, 2.0, 1.0, 2.0]])
+    box = np.asarray(projection.project_to_image_space(a, p2, (200, 400), normalize=False))[0]
+    # nearest face at z=19: u extremes = 200 +- 100/19; v: y in [0,1] -> v in [100, 100+100/19]
+    assert box[1] < 200 - 100 / 21 + 1e-3
+    assert box[3] > 200 + 100 / 21 - 1e-3
+    assert 100 <= box[0] < box[2] <= 100 + 100 / 19 + 1e-3
+
+
+# ---------------------------------------------------------------- iou / nms
+
+def test_pairwise_iou_golden():
+    a = jnp.array([[0.0, 0.0, 2.0, 2.0]])
+    b = jnp.array([[1.0, 1.0, 3.0, 3.0], [0.0, 0.0, 2.0, 2.0], [5.0, 5.0, 6.0, 6.0]])
+    got = np.asarray(iou.pairwise_iou(a, b))[0]
+    np.testing.assert_allclose(got, [1 / 7, 1.0, 0.0], atol=1e-6)
+
+
+def test_nms_matches_numpy_oracle(rng):
+    n = 200
+    boxes = np.abs(rng.rand(n, 4)) * 10
+    boxes = np.stack(
+        [boxes[:, 0], boxes[:, 1], boxes[:, 0] + 1 + boxes[:, 2], boxes[:, 1] + 1 + boxes[:, 3]],
+        axis=1,
+    ).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    got = nms.nms(jnp.array(boxes), jnp.array(scores), max_outputs=32, iou_threshold=0.5)
+    want_idx, want_valid = nms.nms_numpy(boxes, scores, 32, 0.5)
+    np.testing.assert_array_equal(np.asarray(got.valid), want_valid)
+    np.testing.assert_array_equal(np.asarray(got.indices)[want_valid], want_idx[want_valid])
+
+
+def test_nms_suppresses_duplicates():
+    boxes = jnp.array([[0, 0, 2, 2], [0, 0, 2, 2.1], [5, 5, 7, 7]], jnp.float32)
+    scores = jnp.array([0.9, 0.8, 0.7])
+    res = nms.nms(boxes, scores, max_outputs=3, iou_threshold=0.5)
+    assert np.asarray(res.valid).tolist() == [True, True, False]
+    assert np.asarray(res.indices)[:2].tolist() == [0, 2]
+
+
+def test_top_k_nms_original_indexing(rng):
+    boxes = jnp.array(np.array([[0, 0, 1, 1], [10, 10, 11, 11], [20, 20, 21, 21], [0, 0, 1, 1.05]]), jnp.float32)
+    scores = jnp.array([0.1, 0.9, 0.8, 0.2])
+    res = nms.top_k_nms(boxes, scores, max_outputs=2, iou_threshold=0.5, pre_top_k=3)
+    assert np.asarray(res.indices).tolist() == [1, 2]
+
+
+# ---------------------------------------------------------------- crop & resize
+
+def test_crop_resize_matches_numpy(rng):
+    img = rng.rand(24, 32, 3).astype(np.float32)
+    boxes = np.array(
+        [[0.0, 0.0, 1.0, 1.0], [0.25, 0.25, 0.75, 0.5], [0.1, 0.9, 0.2, 1.0]],
+        np.float32,
+    )
+    got = np.asarray(crop_resize.crop_and_resize(jnp.array(img), jnp.array(boxes), (7, 7)))
+    want = crop_resize.crop_and_resize_numpy(img, boxes, (7, 7))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_crop_resize_identity():
+    """Full-image box at the image's own resolution reproduces the image."""
+
+    img = np.arange(5 * 4 * 1, dtype=np.float32).reshape(5, 4, 1)
+    got = np.asarray(
+        crop_resize.crop_and_resize(jnp.array(img), jnp.array([[0.0, 0.0, 1.0, 1.0]]), (5, 4))
+    )[0]
+    np.testing.assert_allclose(got, img, atol=1e-5)
+
+
+def test_crop_resize_center_sample():
+    img = np.zeros((3, 3, 1), np.float32)
+    img[1, 1, 0] = 9.0
+    got = np.asarray(
+        crop_resize.crop_and_resize(jnp.array(img), jnp.array([[0.0, 0.0, 1.0, 1.0]]), (1, 1))
+    )
+    np.testing.assert_allclose(got[0, 0, 0, 0], 9.0)
+
+
+# ---------------------------------------------------------------- losses
+
+def test_smooth_l1_golden():
+    pred = jnp.array([[0.0, 2.0]])
+    tgt = jnp.array([[0.5, 0.0]])
+    per = np.asarray(losses.smooth_l1(pred, tgt))
+    np.testing.assert_allclose(per, [[0.125, 1.5]])
+
+
+def test_weighted_losses_ignore_masked():
+    pred = jnp.array([[1.0, 0.0], [100.0, -100.0]])
+    tgt = jnp.zeros((2, 2))
+    w = jnp.array([1.0, 0.0])
+    out = float(losses.weighted_smooth_l1(pred, tgt, w))
+    np.testing.assert_allclose(out, 0.5)
+
+    logits = jnp.array([[10.0, 0.0], [0.0, 50.0]])
+    onehot = jnp.array([[1.0, 0.0], [1.0, 0.0]])
+    ce = float(losses.weighted_softmax_ce(logits, onehot, w))
+    assert ce < 1e-3  # only the correct, unmasked row counts
+
+
+# ---------------------------------------------------------------- target assignment
+
+def test_minibatch_sampling():
+    key = jax.random.PRNGKey(0)
+    # 100 anchors along a line; 1 GT overlapping anchors 0/1
+    ys = np.arange(100, dtype=np.float32)
+    anchor_bev = np.stack([ys, np.zeros(100), ys + 1.0, np.ones(100)], axis=1)
+    gt_bev = jnp.array([[0.0, 0.0, 1.0, 1.0]])
+    mb = target_assign.sample_minibatch(
+        jnp.array(anchor_bev), jnp.ones(100, bool), gt_bev, jnp.ones(1, bool),
+        jnp.array([1], jnp.int32), key, batch_size=16,
+        neg_iou=(0.0, 0.3), pos_iou=(0.5, 1.0),
+    )
+    sel_pos = np.asarray(mb.indices)[np.asarray(mb.is_pos)]
+    assert sel_pos.tolist() == [0]  # anchor 0 is the only IoU=1 match
+    assert np.asarray(mb.cls_target)[np.asarray(mb.is_pos)].tolist() == [1]
+    # negatives fill the rest, all weighted
+    assert np.asarray(mb.weights).sum() == 16
+
+
+def test_minibatch_no_gt():
+    key = jax.random.PRNGKey(1)
+    anchor_bev = jnp.array([[0.0, 0.0, 1.0, 1.0], [2.0, 2.0, 3.0, 3.0]])
+    mb = target_assign.sample_minibatch(
+        anchor_bev, jnp.ones(2, bool), jnp.zeros((1, 4)), jnp.zeros(1, bool),
+        jnp.zeros(1, jnp.int32), key, batch_size=2,
+    )
+    assert not np.asarray(mb.is_pos).any()
+    assert np.asarray(mb.cls_target).tolist() == [0, 0]
