@@ -102,7 +102,10 @@ def unittest_config(dataset_root: str = "tests/fixtures/kitti") -> PipelineConfi
             ),
             avod=AvodStage2Config(fc_layers=(32, 32), nms_size=8),
         ),
-        train=TrainConfig(batch_size=1, max_iterations=2, checkpoint_interval=1),
+        train=TrainConfig(
+            batch_size=1, max_iterations=2, checkpoint_interval=1,
+            summary_interval=1,
+        ),
         eval=EvalConfig(),
         dataset=DatasetConfig(root=dataset_root, aug_flip=False, aug_pca_jitter=False, shuffle=False),
     )

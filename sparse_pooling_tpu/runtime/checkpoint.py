@@ -35,6 +35,17 @@ def restore(ckpt_dir: str, step: int, template: Dict[str, Any]) -> Dict[str, Any
     return out
 
 
+def restore_params(ckpt_dir: str, step: int, params_template, tx):
+    """Restore just the params from a {params, opt_state} checkpoint.
+
+    orbax's StandardRestore wants the full saved structure as template, so
+    the optimizer state template is rebuilt from ``tx`` and discarded.
+    """
+
+    template = {"params": params_template, "opt_state": tx.init(params_template)}
+    return restore(ckpt_dir, step, template)["params"]
+
+
 def all_steps(ckpt_dir: str) -> List[int]:
     if not os.path.isdir(ckpt_dir):
         return []

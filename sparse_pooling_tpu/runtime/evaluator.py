@@ -71,10 +71,11 @@ class Evaluator:
     def run_checkpoint_once(self, step: int, params=None) -> Dict:
         cfg = self.cfg
         if params is None:
-            template = self._params_template()
-            params = ckpt_mod.restore(self.ckpt_dir, step, {"params": template})[
-                "params"
-            ]
+            from sparse_pooling_tpu.runtime.trainer import build_optimizer
+
+            params = ckpt_mod.restore_params(
+                self.ckpt_dir, step, self._params_template(), build_optimizer(cfg)
+            )
         if self._eval_fn is None:
             self._eval_fn = self._make_eval_fn()
 

@@ -184,7 +184,7 @@ def _pr_curve(frames: Sequence[FrameData], cls: str, diff, metric: str):
         dets = [d for d in fr.det if d.type == cls]
         if not dets:
             continue
-        order = np.argsort([-d.score for d in dets])
+        order = np.argsort([-d.score for d in dets], kind="stable")
         matched = np.zeros(len(fr.gt), bool)
         for di in order:
             d = dets[di]
@@ -236,17 +236,20 @@ def _average_precision(scores, tp, ignored, n_gt, n_points: int = 11) -> float:
         return 0.0
     keep = ~ignored
     scores, tp = scores[keep], tp[keep]
-    order = np.argsort(-scores)
+    order = np.argsort(-scores, kind="stable")
     tp = tp[order]
     cum_tp = np.cumsum(tp)
     cum_fp = np.cumsum(~tp)
     recall = cum_tp / n_gt
     precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
     ap = 0.0
+    # recall points as k/N divisions, NOT linspace: linspace(0,1,11)[6] is
+    # 0.6000000000000001 while 3/5 recall is 0.5999999999999999..., which
+    # flips `recall >= r` at exact-fraction recalls (the C++ twin uses k/N)
     if n_points == 11:
-        rs = np.linspace(0.0, 1.0, 11)
+        rs = np.arange(11) / 10.0
     else:
-        rs = np.linspace(1.0 / n_points, 1.0, n_points)
+        rs = (np.arange(n_points) + 1.0) / n_points
     for r in rs:
         mask = recall >= r
         ap += (precision[mask].max() if mask.any() else 0.0) / len(rs)
