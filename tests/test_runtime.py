@@ -126,3 +126,30 @@ def test_training_cli(cfg, tmp_path):
     cfg_path.write_text(cfg2.to_json())
     run_training.main(["--pipeline_config", str(cfg_path), "--max_steps", "1"])
     assert os.path.isdir(os.path.join(cfg.experiments_dir, "cli_test", "checkpoints"))
+
+
+def test_label_clustering(cfg):
+    from sparse_pooling_tpu.data.dataset import KittiDataset
+    from sparse_pooling_tpu.runtime import preprocess
+
+    ds = KittiDataset(cfg.dataset, cfg.model)
+    clusters = preprocess.cluster_dataset_labels(ds, num_clusters=1)
+    assert "Car" in clusters
+    (l, w, h), = clusters["Car"]
+    assert 3.0 < l < 5.0 and 1.3 < w < 2.0 and 1.2 < h < 2.0
+
+
+def test_gen_mini_batches(cfg, tmp_path):
+    import numpy as np
+
+    from sparse_pooling_tpu.data.dataset import KittiDataset
+    from sparse_pooling_tpu.runtime import preprocess
+
+    ds = KittiDataset(cfg.dataset, cfg.model)
+    paths = preprocess.gen_mini_batches(ds, str(tmp_path / "mb"), num_workers=2)
+    assert len(paths) == len(ds)
+    data = np.load(paths[0])
+    assert "anchor_indices" in data and "Car" in data
+    assert data["Car"].shape[0] == data["anchor_indices"].shape[0]
+    # some anchor overlaps a GT car
+    assert data["Car"][:, 0].max() > 0.3
