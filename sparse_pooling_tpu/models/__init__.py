@@ -1,5 +1,9 @@
 from sparse_pooling_tpu.models import backbone, detector, fusion, loss, pipeline
-from sparse_pooling_tpu.models.detector import SparsePoolingDetector, decode_detections
+from sparse_pooling_tpu.models.detector import (
+    SparsePoolingDetector,
+    decode_detections,
+    decode_detections_single,
+)
 from sparse_pooling_tpu.models.pipeline import RawSample, forward_batch, make_model
 
 __all__ = [

@@ -7,9 +7,9 @@ native features, and mix with a 1x1 conv + ReLU
 (``tf.sparse_tensor_dense_matmul`` -> concat -> conv in the reference,
 SURVEY.md §4.5).
 
-The pooling itself is parameter-free (``ops.sparse_pool``); this module owns
-the 1x1 mixing conv. Operates on single-sample [H, W, C] maps (the detector
-vmaps over the batch).
+Batch-native: operates on [B, H, W, C] maps with batched COO (the pooling
+flattens the batch into one segment-sum — see
+``ops.sparse_pool.sparse_pool_coo_batch``).
 """
 
 from __future__ import annotations
@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from sparse_pooling_tpu.ops.sparse_build import DeviceCoo
-from sparse_pooling_tpu.ops.sparse_pool import sparse_pool_coo
+from sparse_pooling_tpu.ops.sparse_pool import sparse_pool_coo_batch
 
 
 class SparsePoolFusion(nn.Module):
@@ -29,19 +29,21 @@ class SparsePoolFusion(nn.Module):
 
     @nn.compact
     def __call__(self, native: jnp.ndarray, source: jnp.ndarray, coo: DeviceCoo):
-        """native [Ht, Wt, C], source [Hs, Ws, C] -> fused [Ht, Wt, out].
+        """native [B, Ht, Wt, C], source [B, Hs, Ws, C], coo arrays [B, N]
+        -> fused [B, Ht, Wt, out].
 
         The COO weights stay fp32 (bilinear weights lose too much in bf16);
         pooled features are cast back to the compute dtype for the conv.
         """
 
+        b = native.shape[0]
         ht, wt = coo.target_hw
         hs, ws = coo.source_hw
-        src_flat = source.reshape(hs * ws, source.shape[-1]).astype(jnp.float32)
-        pooled = sparse_pool_coo(
+        src_flat = source.reshape(b, hs * ws, source.shape[-1]).astype(jnp.float32)
+        pooled = sparse_pool_coo_batch(
             src_flat, coo.rows, coo.cols, coo.vals, num_targets=ht * wt
         )
-        pooled_map = pooled.reshape(ht, wt, -1).astype(self.dtype)
+        pooled_map = pooled.reshape(b, ht, wt, -1).astype(self.dtype)
         x = jnp.concatenate([native.astype(self.dtype), pooled_map], axis=-1)
         x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="mix1x1")(x)
         return nn.relu(x)

@@ -9,6 +9,7 @@ why sampling moved in-graph).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
@@ -98,3 +99,29 @@ def detector_loss(
         "num_rpn_pos": jnp.sum(mb.is_pos),
         "num_s2_pos": jnp.sum(mb2.is_pos),
     }
+
+
+def detector_loss_batch(
+    outputs: Dict[str, jnp.ndarray],  # batched model outputs [B, ...]
+    gt_boxes_3d: jnp.ndarray,  # [B, G, 7]
+    gt_valid: jnp.ndarray,  # [B, G]
+    gt_classes: jnp.ndarray,  # [B, G]
+    ground_plane: jnp.ndarray,  # [B, 4]
+    rng: jax.Array,
+    cfg: ModelConfig,
+    extents: AreaExtents = AreaExtents(),
+) -> Dict[str, jnp.ndarray]:
+    """Per-sample losses vmapped over the batch, then mean-reduced.
+
+    The per-sample loss ops (IoU target assignment, top_k sampling, gathers)
+    all batch efficiently under vmap — unlike the model's hot path, which is
+    batch-native (see ``models.detector``).
+    """
+
+    b = gt_boxes_3d.shape[0]
+    rngs = jax.random.split(rng, b)
+    one = functools.partial(detector_loss, cfg=cfg, extents=extents)
+    losses = jax.vmap(
+        lambda o, g, gv, gc, pl, r: one(o, g, gv, gc, pl, r)
+    )(dict(outputs), gt_boxes_3d, gt_valid, gt_classes, ground_plane, rngs)
+    return jax.tree.map(jnp.mean, losses)

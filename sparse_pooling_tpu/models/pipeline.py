@@ -6,6 +6,10 @@ device inputs (padded points, uint8 image, calibration, plane) to model
 outputs. The reference splits this across host numpy (BEV maps, sparse
 matrices: ``kitti_utils``) and the TF graph; here everything after file IO
 runs on device (SURVEY.md §4.1 hot-loop redesign).
+
+The model itself is batch-native (see ``models.detector``); the per-sample
+input builders (voxelizer, COO construction, anchor filter — segment ops
+that vmap efficiently) are vmapped over the batch here.
 """
 
 from __future__ import annotations
@@ -69,14 +73,13 @@ def make_model(cfg: ModelConfig, extents: AreaExtents = AreaExtents()):
     return SparsePoolingDetector(cfg=cfg, extents=extents)
 
 
-def build_model_inputs(
+def _build_inputs_one(
     raw: RawSample,
     anchors_static: jnp.ndarray,
-    path_keep: jnp.ndarray,
     cfg: ModelConfig,
     extents: AreaExtents,
 ) -> Dict[str, Any]:
-    """Raw device inputs -> model input dict (single sample, in-graph)."""
+    """Per-sample in-graph input construction (vmapped over the batch)."""
 
     bev_input = bev_device.bev_maps_from_points(
         raw.points, raw.points_mask, raw.ground_plane, extents, cfg.bev
@@ -89,9 +92,8 @@ def build_model_inputs(
     )
 
     # occupancy for the empty-anchor filter comes from the BEV density
-    # channel (already a per-cell scatter) instead of a second segment-sum;
-    # density > 0 <=> count >= 1, which covers density_threshold == 1 (the
-    # reference default). Higher thresholds fall back to a dedicated count.
+    # channel (already a per-cell scatter); density > 0 <=> count >= 1,
+    # covering density_threshold == 1 (the reference default)
     h, w = cfg.bev.grid_hw(extents)
     if cfg.anchors.density_threshold <= 1:
         occupancy = (bev_input[:h, :, cfg.bev.height_slices] > 0).astype(
@@ -116,13 +118,41 @@ def build_model_inputs(
         "anchors": filtered.anchors,
         "anchor_valid": filtered.valid,
         "p2": raw.p2,
-        "path_keep": path_keep,
     }
+
+
+def build_model_inputs_batch(
+    batch: RawSample,  # leading batch dim on every field
+    anchors_static: jnp.ndarray,
+    path_keep: jnp.ndarray,  # [B, 2]
+    cfg: ModelConfig,
+    extents: AreaExtents,
+) -> Dict[str, Any]:
+    inputs = jax.vmap(
+        lambda r: _build_inputs_one(r, anchors_static, cfg, extents)
+    )(batch)
+    inputs["path_keep"] = path_keep
+    return inputs
+
+
+def build_model_inputs(
+    raw: RawSample,
+    anchors_static: jnp.ndarray,
+    path_keep: jnp.ndarray,  # [2]
+    cfg: ModelConfig,
+    extents: AreaExtents,
+) -> Dict[str, Any]:
+    """Single-sample form (batch of 1) — kept for init and tooling."""
+
+    batch = jax.tree.map(lambda x: x[None], raw)
+    return build_model_inputs_batch(
+        batch, anchors_static, path_keep[None], cfg, extents
+    )
 
 
 def sample_path_keep(rng: jax.Array, cfg: ModelConfig) -> jnp.ndarray:
     """Path-drop flags (reference rpn_model path-drop): keep each branch with
-    its configured probability, but never drop both."""
+    its configured probability, but never drop both. Returns [2]."""
 
     if not cfg.path_drop.enabled:
         return jnp.ones((2,), jnp.float32)
@@ -130,11 +160,36 @@ def sample_path_keep(rng: jax.Array, cfg: ModelConfig) -> jnp.ndarray:
     bev = jax.random.uniform(r1) < cfg.path_drop.bev_keep_prob
     img = jax.random.uniform(r2) < cfg.path_drop.img_keep_prob
     neither = ~(bev | img)
-    # if both dropped, revive one at random (reference picks one branch)
     revive_bev = jax.random.uniform(r3) < 0.5
     bev = bev | (neither & revive_bev)
     img = img | (neither & ~revive_bev)
     return jnp.stack([bev, img]).astype(jnp.float32)
+
+
+def forward_batch_fn(
+    model: SparsePoolingDetector,
+    params,
+    batch: RawSample,  # leading batch dim
+    anchors_static: jnp.ndarray,
+    cfg: ModelConfig,
+    extents: AreaExtents,
+    train: bool = False,
+    rng: jax.Array = None,
+):
+    """Batched end-to-end forward: raw inputs -> model outputs (jittable)."""
+
+    b = batch.points.shape[0]
+    if train:
+        rng_path, rng_drop = jax.random.split(rng)
+        path_keep = jax.vmap(lambda k: sample_path_keep(k, cfg))(
+            jax.random.split(rng_path, b)
+        )
+        rngs = {"dropout": rng_drop}
+    else:
+        path_keep = jnp.ones((b, 2), jnp.float32)
+        rngs = {}
+    inputs = build_model_inputs_batch(batch, anchors_static, path_keep, cfg, extents)
+    return model.apply(params, inputs, train=train, rngs=rngs)
 
 
 def forward_single(
@@ -144,20 +199,17 @@ def forward_single(
     anchors_static: jnp.ndarray,
     cfg: ModelConfig,
     extents: AreaExtents,
-    train: bool,
+    train: bool = False,
     rng: jax.Array = None,
 ):
-    """One sample end-to-end: raw inputs -> model outputs (jit-friendly)."""
+    """One sample end-to-end (batch of 1; outputs keep the batch dim of 1
+    stripped for tooling convenience)."""
 
-    if train:
-        rng_path, rng_drop = jax.random.split(rng)
-        path_keep = sample_path_keep(rng_path, cfg)
-        rngs = {"dropout": rng_drop}
-    else:
-        path_keep = jnp.ones((2,), jnp.float32)
-        rngs = {}
-    inputs = build_model_inputs(raw, anchors_static, path_keep, cfg, extents)
-    return model.apply(params, inputs, train=train, rngs=rngs)
+    batch = jax.tree.map(lambda x: x[None], raw)
+    out = forward_batch_fn(
+        model, params, batch, anchors_static, cfg, extents, train, rng
+    )
+    return jax.tree.map(lambda x: x[0], out)
 
 
 @functools.partial(
@@ -166,25 +218,15 @@ def forward_single(
 def forward_batch(
     model: SparsePoolingDetector,
     params,
-    batch: RawSample,  # leading batch axis on every field
+    batch: RawSample,
     anchors_static: jnp.ndarray,
     cfg: ModelConfig,
     extents: AreaExtents,
     train: bool = False,
     rng: jax.Array = None,
 ):
-    """vmapped batch forward with shared params."""
+    """jit-wrapped ``forward_batch_fn``."""
 
-    b = batch.points.shape[0]
-    if train:
-        rngs = jax.random.split(rng, b)
-    else:
-        rngs = jnp.zeros((b, 2), jnp.uint32)
-
-    def one(raw, r):
-        return forward_single(
-            model, params, raw, anchors_static, cfg, extents, train,
-            r if train else None,
-        )
-
-    return jax.vmap(one)(batch, rngs)
+    return forward_batch_fn(
+        model, params, batch, anchors_static, cfg, extents, train, rng
+    )

@@ -4,8 +4,9 @@ Capability parity with the reference's encoder family —
 ``avod/core/anchor_encoder.py``, ``box_3d_encoder.py``, ``box_4c_encoder.py``,
 ``box_8c_encoder.py``, ``orientation_encoder.py``. The reference keeps numpy
 and TF twins of each function; in JAX a single ``jnp`` implementation serves
-both eager-numpy and traced use, so the twins collapse to one function each
-(tests still assert hand-built numpy golden values, SURVEY.md §5).
+both eager-numpy and traced use (tests assert hand-built numpy golden
+values, SURVEY.md §5). All functions are rank-polymorphic: they accept
+[..., N, D] stacks, so the batched detector uses them directly.
 
 Encodings:
   box_3d   [x, y, z, l, w, h, ry]  — KITTI-style, y = bottom-center,
@@ -15,7 +16,7 @@ Encodings:
   offsets  [(dx)/dim_x, (dy)/dim_y, (dz)/dim_z, dlog dims] — RPN regression.
   box_4c   [x1..x4, z1..z4, h1, h2] — 4 ground-plane corners (anchor-local
            ordering) + 2 heights above ground; the 10-d stage-2 target.
-  box_8c   (8, 3) corners — for visualization/IoU tools.
+  box_8c   (..., 8, 3) corners — for visualization/IoU tools.
   angle    ry <-> [cos ry, sin ry] unit vector.
 """
 
@@ -27,38 +28,37 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------- box_3d <-> anchor
 
 def box_3d_to_anchor(boxes_3d):
-    """[N, 7] box_3d -> [N, 6] axis-aligned anchors.
+    """[..., 7] box_3d -> [..., 6] axis-aligned anchors.
 
     Follows the reference: the footprint keeps (l, w) projected onto the
     grid axes by the nearest 90-degree yaw bin.
     """
 
     boxes_3d = jnp.asarray(boxes_3d)
-    x, y, z, l, w, h, ry = [boxes_3d[:, i] for i in range(7)]
-    # nearest axis-aligned bin: |cos| >= |sin| keeps (l, w), else swap
+    x, y, z, l, w, h, ry = [boxes_3d[..., i] for i in range(7)]
     keep = jnp.abs(jnp.cos(ry)) >= jnp.abs(jnp.sin(ry))
     dim_x = jnp.where(keep, l, w)
     dim_z = jnp.where(keep, w, l)
-    return jnp.stack([x, y, z, dim_x, h, dim_z], axis=1)
+    return jnp.stack([x, y, z, dim_x, h, dim_z], axis=-1)
 
 
 def anchor_to_box_3d(anchors, ry=None):
-    """[N, 6] anchors (+optional [N] ry) -> [N, 7] box_3d with given yaw."""
+    """[..., 6] anchors (+optional [...] ry) -> [..., 7] box_3d."""
 
     anchors = jnp.asarray(anchors)
-    x, y, z, dim_x, dim_y, dim_z = [anchors[:, i] for i in range(6)]
+    x, y, z, dim_x, dim_y, dim_z = [anchors[..., i] for i in range(6)]
     if ry is None:
         ry = jnp.zeros_like(x)
     keep = jnp.abs(jnp.cos(ry)) >= jnp.abs(jnp.sin(ry))
     l = jnp.where(keep, dim_x, dim_z)
     w = jnp.where(keep, dim_z, dim_x)
-    return jnp.stack([x, y, z, l, w, dim_y, ry], axis=1)
+    return jnp.stack([x, y, z, l, w, dim_y, ry], axis=-1)
 
 
 # ---------------------------------------------------------------- anchor offsets
 
 def anchor_to_offset(anchors, gt_anchors):
-    """Regression targets: [N, 6] offsets of gt from anchor.
+    """Regression targets: [..., 6] offsets of gt from anchor.
 
     Reference ``anchor_encoder.anchor_to_offset``: translation normalized by
     anchor dims, dimension offsets as log ratios.
@@ -66,9 +66,9 @@ def anchor_to_offset(anchors, gt_anchors):
 
     anchors = jnp.asarray(anchors)
     gt = jnp.asarray(gt_anchors)
-    t_xyz = (gt[:, :3] - anchors[:, :3]) / anchors[:, 3:6]
-    t_dim = jnp.log(gt[:, 3:6] / anchors[:, 3:6])
-    return jnp.concatenate([t_xyz, t_dim], axis=1)
+    t_xyz = (gt[..., :3] - anchors[..., :3]) / anchors[..., 3:6]
+    t_dim = jnp.log(gt[..., 3:6] / anchors[..., 3:6])
+    return jnp.concatenate([t_xyz, t_dim], axis=-1)
 
 
 def offset_to_anchor(anchors, offsets):
@@ -76,119 +76,115 @@ def offset_to_anchor(anchors, offsets):
 
     anchors = jnp.asarray(anchors)
     offsets = jnp.asarray(offsets)
-    xyz = anchors[:, :3] + offsets[:, :3] * anchors[:, 3:6]
-    dims = anchors[:, 3:6] * jnp.exp(offsets[:, 3:6])
-    return jnp.concatenate([xyz, dims], axis=1)
+    xyz = anchors[..., :3] + offsets[..., :3] * anchors[..., 3:6]
+    dims = anchors[..., 3:6] * jnp.exp(offsets[..., 3:6])
+    return jnp.concatenate([xyz, dims], axis=-1)
 
 
 # ---------------------------------------------------------------- orientation
 
 def angle_to_vector(ry):
-    """ry [N] -> [N, 2] (cos, sin) (reference orientation_encoder)."""
+    """ry [...] -> [..., 2] (cos, sin) (reference orientation_encoder)."""
 
     ry = jnp.asarray(ry)
-    return jnp.stack([jnp.cos(ry), jnp.sin(ry)], axis=1)
+    return jnp.stack([jnp.cos(ry), jnp.sin(ry)], axis=-1)
 
 
 def vector_to_angle(vec):
-    """[N, 2] -> ry [N] via atan2."""
+    """[..., 2] -> ry [...] via atan2."""
 
     vec = jnp.asarray(vec)
-    return jnp.arctan2(vec[:, 1], vec[:, 0])
+    return jnp.arctan2(vec[..., 1], vec[..., 0])
 
 
 # ---------------------------------------------------------------- box_8c
 
 def box_3d_to_corners(boxes_3d):
-    """[N, 7] box_3d -> [N, 8, 3] corners (cam frame).
+    """[..., 7] box_3d -> [..., 8, 3] corners (cam frame).
 
     Corner order: bottom face (x+l/2 first) counter-clockwise viewed from
     above, then the top face in the same order.
     """
 
     boxes_3d = jnp.asarray(boxes_3d)
-    x, y, z, l, w, h, ry = [boxes_3d[:, i] for i in range(7)]
-    # local footprint corners (heading along +x before rotation)
-    lx = jnp.stack([l / 2, l / 2, -l / 2, -l / 2], axis=1)
-    lz = jnp.stack([w / 2, -w / 2, -w / 2, w / 2], axis=1)
-    c, s = jnp.cos(ry)[:, None], jnp.sin(ry)[:, None]
-    gx = c * lx + s * lz + x[:, None]
-    gz = -s * lx + c * lz + z[:, None]
-    bottom = jnp.stack([gx, jnp.broadcast_to(y[:, None], gx.shape), gz], axis=2)
-    top = bottom.at[:, :, 1].add(-h[:, None])
-    return jnp.concatenate([bottom, top], axis=1)
+    x, y, z, l, w, h, ry = [boxes_3d[..., i] for i in range(7)]
+    lx = jnp.stack([l / 2, l / 2, -l / 2, -l / 2], axis=-1)
+    lz = jnp.stack([w / 2, -w / 2, -w / 2, w / 2], axis=-1)
+    c, s = jnp.cos(ry)[..., None], jnp.sin(ry)[..., None]
+    gx = c * lx + s * lz + x[..., None]
+    gz = -s * lx + c * lz + z[..., None]
+    gy = jnp.broadcast_to(y[..., None], gx.shape)
+    bottom = jnp.stack([gx, gy, gz], axis=-1)  # [..., 4, 3]
+    top = bottom.at[..., 1].add(-jnp.broadcast_to(h[..., None], gx.shape))
+    return jnp.concatenate([bottom, top], axis=-2)
 
 
 # ---------------------------------------------------------------- box_4c
 
 def box_3d_to_box_4c(boxes_3d, ground_plane):
-    """[N, 7] box_3d -> [N, 10] box_4c (reference box_4c_encoder).
+    """[..., 7] box_3d -> [..., 10] box_4c (reference box_4c_encoder).
 
     The 4 ground corners are the box footprint corners ordered to start from
     the corner with the largest (x + z) in the midpoint-local frame (a fixed
     deterministic ordering so regression targets are consistent), plus the
     two heights of bottom/top faces above the ground plane.
+
+    ``ground_plane`` is [4] or broadcastable [..., 4] (per-sample planes).
     """
 
     boxes_3d = jnp.asarray(boxes_3d)
-    corners = box_3d_to_corners(boxes_3d)  # [N, 8, 3]
-    ground = corners[:, :4]  # bottom face
-    a, b, c, d = ground_plane
-    # signed height above the (normalized, normal-up) plane: a x + b y + c z + d
-    y_bottom = boxes_3d[:, 1]
-    y_top = boxes_3d[:, 1] - boxes_3d[:, 5]
-    x0, z0 = boxes_3d[:, 0], boxes_3d[:, 2]
+    ground_plane = jnp.asarray(ground_plane)
+    corners = box_3d_to_corners(boxes_3d)  # [..., 8, 3]
+    ground = corners[..., :4, :]  # bottom face
+    a = ground_plane[..., 0]
+    b = ground_plane[..., 1]
+    c = ground_plane[..., 2]
+    d = ground_plane[..., 3]
+    y_bottom = boxes_3d[..., 1]
+    y_top = boxes_3d[..., 1] - boxes_3d[..., 5]
+    x0, z0 = boxes_3d[..., 0], boxes_3d[..., 2]
     h1 = a * x0 + b * y_bottom + c * z0 + d
     h2 = a * x0 + b * y_top + c * z0 + d
 
-    # deterministic corner ordering: roll so the corner with max (x+z)
-    # relative to the centroid comes first, preserving cyclic order
-    rel = ground[:, :, 0] - x0[:, None] + ground[:, :, 2] - z0[:, None]
-    start = jnp.argmax(rel, axis=1)  # [N]
-    idx = (start[:, None] + jnp.arange(4)[None, :]) % 4
-    ordered = jnp.take_along_axis(ground, idx[:, :, None], axis=1)
-    xs = ordered[:, :, 0]
-    zs = ordered[:, :, 2]
-    return jnp.concatenate([xs, zs, h1[:, None], h2[:, None]], axis=1)
+    rel = ground[..., 0] - x0[..., None] + ground[..., 2] - z0[..., None]
+    start = jnp.argmax(rel, axis=-1)  # [...]
+    idx = (start[..., None] + jnp.arange(4)) % 4
+    ordered = jnp.take_along_axis(ground, idx[..., None], axis=-2)
+    xs = ordered[..., 0]
+    zs = ordered[..., 2]
+    return jnp.concatenate([xs, zs, h1[..., None], h2[..., None]], axis=-1)
 
 
 def box_4c_to_box_3d(box_4c, ground_plane):
-    """[N, 10] box_4c -> [N, 7] box_3d (best-fit rectangle decode).
-
-    The reference fits the (possibly non-rectangular) regressed corners back
-    to a box: midpoints of opposite edges give the axes; we recover center,
-    dims, and yaw from the corner cycle, then y from ground height + h1.
-    """
+    """[..., 10] box_4c -> [..., 7] box_3d (best-fit rectangle decode)."""
 
     box_4c = jnp.asarray(box_4c)
-    xs, zs = box_4c[:, :4], box_4c[:, 4:8]
-    h1, h2 = box_4c[:, 8], box_4c[:, 9]
-    xc = jnp.mean(xs, axis=1)
-    zc = jnp.mean(zs, axis=1)
+    ground_plane = jnp.asarray(ground_plane)
+    xs, zs = box_4c[..., :4], box_4c[..., 4:8]
+    h1, h2 = box_4c[..., 8], box_4c[..., 9]
+    xc = jnp.mean(xs, axis=-1)
+    zc = jnp.mean(zs, axis=-1)
 
-    # edge vectors of the quad (cyclic): average the two parallel edges
-    ex = (xs[:, 1] - xs[:, 0] + xs[:, 2] - xs[:, 3]) / 2
-    ez = (zs[:, 1] - zs[:, 0] + zs[:, 2] - zs[:, 3]) / 2
-    fx = (xs[:, 3] - xs[:, 0] + xs[:, 2] - xs[:, 1]) / 2
-    fz = (zs[:, 3] - zs[:, 0] + zs[:, 2] - zs[:, 1]) / 2
+    ex = (xs[..., 1] - xs[..., 0] + xs[..., 2] - xs[..., 3]) / 2
+    ez = (zs[..., 1] - zs[..., 0] + zs[..., 2] - zs[..., 3]) / 2
+    fx = (xs[..., 3] - xs[..., 0] + xs[..., 2] - xs[..., 1]) / 2
+    fz = (zs[..., 3] - zs[..., 0] + zs[..., 2] - zs[..., 1]) / 2
     len_e = jnp.sqrt(ex**2 + ez**2)
     len_f = jnp.sqrt(fx**2 + fz**2)
-    # l = longer edge, heading along it
     e_longer = len_e >= len_f
     l = jnp.where(e_longer, len_e, len_f)
     w = jnp.where(e_longer, len_f, len_e)
-    ry = jnp.where(
-        e_longer, jnp.arctan2(-ez, ex), jnp.arctan2(-fz, fx)
-    )
-    # wrap to (-pi/2, pi/2] as the box is symmetric front/back
+    ry = jnp.where(e_longer, jnp.arctan2(-ez, ex), jnp.arctan2(-fz, fx))
     ry = jnp.where(ry > jnp.pi / 2, ry - jnp.pi, ry)
     ry = jnp.where(ry <= -jnp.pi / 2, ry + jnp.pi, ry)
 
-    a, b, c, d = ground_plane
-    # y such that height-above-plane == h1:  h1 = a x + b y + c z + d
+    a = ground_plane[..., 0]
+    b = ground_plane[..., 1]
+    c = ground_plane[..., 2]
+    d = ground_plane[..., 3]
     y = (h1 - a * xc - c * zc - d) / b
     h = jnp.abs(h2 - h1)
-    return jnp.stack([xc, y, zc, l, w, h, ry], axis=1)
+    return jnp.stack([xc, y, zc, l, w, h, ry], axis=-1)
 
 
 def box_4c_to_offsets(box_4c, gt_box_4c):

@@ -5,10 +5,16 @@ reference RPN/AVOD heads), the MV3D fork's Cython CPU NMS and CUDA bitmask
 GPU NMS (N2/N3 in SURVEY.md §3.8). Greedy semantics match the classics:
 repeatedly take the highest-scoring box, suppress overlaps > threshold.
 
-Static shapes: always returns ``max_outputs`` indices plus a validity mask;
-invalid slots point at the last suppressed pick with valid=False. The loop
-is a ``lax.fori_loop`` of max_outputs steps over an [N] score/suppression
-vector — O(max_outputs * N) VPU work, no host sync, fully fusable.
+TPU-first details:
+  * static shapes: always ``max_outputs`` indices + validity mask;
+  * the IoU row of the current pick is computed ON THE FLY each iteration
+    ([N] VPU work) instead of materializing the [N, N] matrix — smaller and
+    faster at RPN scale (4096+ candidates);
+  * ``nms_batch`` / ``top_k_nms_batch`` are the batch-native forms: naively
+    vmapping the sequential loop lowered to per-sample dynamic slices that
+    measured 7x slower per frame on TPU v5e; the batch-native body runs the
+    same loop with [B, N] tensor ops. (A custom_vmap bridge was tried and
+    rejected: it breaks reverse-mode AD through the surrounding graph.)
 """
 
 from __future__ import annotations
@@ -19,48 +25,94 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from sparse_pooling_tpu.ops.iou import pairwise_iou
-
 
 class NmsResult(NamedTuple):
-    indices: jnp.ndarray  # [max_outputs] int32 into the input boxes
-    valid: jnp.ndarray  # [max_outputs] bool
+    indices: jnp.ndarray  # [..., max_outputs] int32 into the input boxes
+    valid: jnp.ndarray  # [..., max_outputs] bool
 
 
-@functools.partial(jax.jit, static_argnames=("max_outputs",))
+def _iou_rows(pick_boxes, boxes):
+    """IoU of one pick per batch row vs all boxes: [B, 4] x [B, N, 4] -> [B, N]."""
+
+    y1 = jnp.maximum(pick_boxes[:, None, 0], boxes[..., 0])
+    x1 = jnp.maximum(pick_boxes[:, None, 1], boxes[..., 1])
+    y2 = jnp.minimum(pick_boxes[:, None, 2], boxes[..., 2])
+    x2 = jnp.minimum(pick_boxes[:, None, 3], boxes[..., 3])
+    inter = jnp.maximum(y2 - y1, 0) * jnp.maximum(x2 - x1, 0)
+    area = lambda b: jnp.maximum(b[..., 2] - b[..., 0], 0) * jnp.maximum(
+        b[..., 3] - b[..., 1], 0
+    )
+    union = area(pick_boxes)[:, None] + area(boxes) - inter
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
+
+
+def _nms_batch(boxes, scores, max_outputs: int, iou_threshold: float) -> NmsResult:
+    """Batch-native greedy NMS: boxes [B, N, 4], scores [B, N]."""
+
+    b, n, _ = boxes.shape
+    arange_n = jnp.arange(n)
+
+    def body(i, state):
+        live, out_idx, out_valid = state
+        best = jnp.argmax(live, axis=1)  # [B]
+        best_score = jnp.take_along_axis(live, best[:, None], axis=1)[:, 0]
+        ok = best_score > -jnp.inf
+        out_idx = out_idx.at[:, i].set(best.astype(jnp.int32))
+        out_valid = out_valid.at[:, i].set(ok)
+        pick_boxes = jnp.take_along_axis(boxes, best[:, None, None], axis=1)[:, 0]
+        iou_row = _iou_rows(pick_boxes, boxes)  # [B, N]
+        suppress = (iou_row > iou_threshold) | (arange_n[None, :] == best[:, None])
+        live = jnp.where(ok[:, None] & suppress, -jnp.inf, live)
+        return live, out_idx, out_valid
+
+    init = (
+        scores.astype(jnp.float32),
+        jnp.zeros((b, max_outputs), jnp.int32),
+        jnp.zeros((b, max_outputs), bool),
+    )
+    _, out_idx, out_valid = jax.lax.fori_loop(0, max_outputs, body, init)
+    return NmsResult(out_idx, out_valid)
+
+
+def nms_batch(
+    boxes: jnp.ndarray,  # [B, N, 4]
+    scores: jnp.ndarray,  # [B, N]
+    max_outputs: int,
+    iou_threshold: float = 0.5,
+) -> NmsResult:
+    """Batch-native greedy NMS. Use this (not vmap of ``nms``) in batched
+    code: the vmapped sequential loop measured 7x slower per frame."""
+
+    return _nms_batch(boxes, scores, max_outputs, iou_threshold)
+
+
 def nms(
     boxes: jnp.ndarray,  # [N, 4] [y1, x1, y2, x2]
     scores: jnp.ndarray,  # [N] f32; pass -inf for invalid boxes
     max_outputs: int,
     iou_threshold: float = 0.5,
 ) -> NmsResult:
-    n = boxes.shape[0]
-    iou = pairwise_iou(boxes, boxes)  # [N, N]
+    res = _nms_batch(boxes[None], scores[None], max_outputs, iou_threshold)
+    return NmsResult(res.indices[0], res.valid[0])
 
-    def body(i, state):
-        live_scores, out_idx, out_valid = state
-        best = jnp.argmax(live_scores)
-        best_score = live_scores[best]
-        ok = best_score > -jnp.inf
-        out_idx = out_idx.at[i].set(jnp.int32(best))
-        out_valid = out_valid.at[i].set(ok)
-        # suppress overlaps with the pick (and the pick itself)
-        suppress = (iou[best] > iou_threshold) | (
-            jnp.arange(n) == best
-        )
-        live_scores = jnp.where(ok & suppress, -jnp.inf, live_scores)
-        return live_scores, out_idx, out_valid
 
-    init = (
-        scores.astype(jnp.float32),
-        jnp.zeros((max_outputs,), jnp.int32),
-        jnp.zeros((max_outputs,), bool),
+def top_k_nms_batch(
+    boxes: jnp.ndarray,  # [B, N, 4]
+    scores: jnp.ndarray,  # [B, N]
+    max_outputs: int,
+    iou_threshold: float = 0.5,
+    pre_top_k: int = 1024,
+) -> NmsResult:
+    """Batched top-k prefilter + NMS; indices in ORIGINAL box indexing."""
+
+    top_scores, top_idx = jax.lax.top_k(scores, pre_top_k)
+    boxes_k = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    sub = nms_batch(boxes_k, top_scores, max_outputs, iou_threshold)
+    return NmsResult(
+        jnp.take_along_axis(top_idx, sub.indices, axis=1), sub.valid
     )
-    _, out_idx, out_valid = jax.lax.fori_loop(0, max_outputs, body, init)
-    return NmsResult(out_idx, out_valid)
 
 
-@functools.partial(jax.jit, static_argnames=("max_outputs", "pre_top_k"))
 def top_k_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -68,15 +120,12 @@ def top_k_nms(
     iou_threshold: float = 0.5,
     pre_top_k: int = 1024,
 ) -> NmsResult:
-    """Top-k prefilter then NMS — the reference RPN's top-k + NMS pattern.
+    """Top-k prefilter then NMS — the reference RPN's top-k + NMS pattern."""
 
-    Cuts the O(N^2) IoU matrix down to pre_top_k^2. Returned indices are in
-    the ORIGINAL box indexing.
-    """
-
-    top_scores, top_idx = jax.lax.top_k(scores, pre_top_k)
-    sub = nms(jnp.take(boxes, top_idx, axis=0), top_scores, max_outputs, iou_threshold)
-    return NmsResult(jnp.take(top_idx, sub.indices), sub.valid)
+    res = top_k_nms_batch(
+        boxes[None], scores[None], max_outputs, iou_threshold, pre_top_k
+    )
+    return NmsResult(res.indices[0], res.valid[0])
 
 
 def nms_numpy(boxes, scores, max_outputs, iou_threshold=0.5):

@@ -56,6 +56,35 @@ def sparse_pool_ell(
     return jnp.einsum("tkc,tk->tc", g, ell_w, preferred_element_type=src_feat.dtype)
 
 
+def sparse_pool_coo_batch(
+    src_feat: jnp.ndarray,  # [B, S, C]
+    rows: jnp.ndarray,  # [B, N] int32
+    cols: jnp.ndarray,  # [B, N] int32
+    vals: jnp.ndarray,  # [B, N] f32
+    num_targets: int,
+) -> jnp.ndarray:
+    """Batch-native COO pooling -> [B, T, C].
+
+    Flattens the batch into the row/col index spaces (rows + b*T,
+    cols + b*S) so the whole batch is ONE gather + ONE segment-sum — the
+    fast unbatched lowering — instead of vmap's slow batched scatter.
+    Per-sample row-sortedness is preserved by the monotone offsets.
+    """
+
+    b, s, c = src_feat.shape
+    n = rows.shape[1]
+    row_off = (jnp.arange(b, dtype=rows.dtype) * num_targets)[:, None]
+    col_off = (jnp.arange(b, dtype=cols.dtype) * s)[:, None]
+    flat = sparse_pool_coo(
+        src_feat.reshape(b * s, c),
+        (rows + row_off).reshape(-1),
+        (cols + col_off).reshape(-1),
+        vals.reshape(-1),
+        num_targets=b * num_targets,
+    )
+    return flat.reshape(b, num_targets, c)
+
+
 def sparse_pool_ell_batch(src_feat, ell_src, ell_w):
     """[B, S, C] x [B, T, K] -> [B, T, C]."""
 

@@ -26,7 +26,7 @@ import numpy as np
 from sparse_pooling_tpu.configs.config import AreaExtents, PipelineConfig
 from sparse_pooling_tpu.data.dataset import KittiDataset
 from sparse_pooling_tpu.models import pipeline as pl
-from sparse_pooling_tpu.models.detector import decode_detections
+from sparse_pooling_tpu.models.detector import decode_detections_single
 from sparse_pooling_tpu.runtime import checkpoint as ckpt_mod
 from sparse_pooling_tpu.runtime import metrics as metrics_mod
 from sparse_pooling_tpu.runtime import predictions as pred_mod
@@ -63,7 +63,7 @@ class Evaluator:
             out = pl.forward_single(
                 self.model, params, raw, self.anchors_static, cfg, ext, False
             )
-            return decode_detections(out, raw.ground_plane, cfg, ext)
+            return decode_detections_single(out, raw.ground_plane, cfg, ext)
 
         return eval_fn
 

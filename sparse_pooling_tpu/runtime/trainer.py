@@ -61,22 +61,15 @@ def make_train_step(model, tx, anchors_static, cfg, extents):
     mc = cfg.model
 
     def loss_fn(params, batch: pl.RawSample, rng):
-        b = batch.points.shape[0]
-        rngs = jax.random.split(rng, b)
-
-        def one(raw, r):
-            r_fwd, r_loss = jax.random.split(r)
-            out = pl.forward_single(
-                model, params, raw, anchors_static, mc, extents, True, r_fwd
-            )
-            return loss_mod.detector_loss(
-                out, raw.gt_boxes_3d, raw.gt_valid, raw.gt_classes,
-                raw.ground_plane, r_loss, mc, extents,
-            )
-
-        losses = jax.vmap(one)(batch, rngs)
-        mean_losses = jax.tree.map(lambda x: jnp.mean(x), losses)
-        return mean_losses["total"], mean_losses
+        r_fwd, r_loss = jax.random.split(rng)
+        out = pl.forward_batch_fn(
+            model, params, batch, anchors_static, mc, extents, True, r_fwd
+        )
+        losses = loss_mod.detector_loss_batch(
+            out, batch.gt_boxes_3d, batch.gt_valid, batch.gt_classes,
+            batch.ground_plane, r_loss, mc, extents,
+        )
+        return losses["total"], losses
 
     @jax.jit
     def train_step(params, opt_state, batch, rng):

@@ -13,7 +13,7 @@ import pytest
 from sparse_pooling_tpu.configs import AreaExtents, unittest_config
 from sparse_pooling_tpu.models import loss as loss_mod
 from sparse_pooling_tpu.models import pipeline as pl
-from sparse_pooling_tpu.models.detector import decode_detections
+from sparse_pooling_tpu.models.detector import decode_detections_single
 
 
 @pytest.fixture(scope="module")
@@ -86,7 +86,7 @@ def test_anchor_filter_found_gt_region(setup):
 def test_decode_detections(setup):
     cfg, ext, model, anchors_static, raw, params = setup
     out = pl.forward_single(model, params, raw, anchors_static, cfg, ext, train=False)
-    det = decode_detections(out, raw.ground_plane, cfg, ext)
+    det = decode_detections_single(out, raw.ground_plane, cfg, ext)
     k = cfg.avod.nms_size
     assert det["boxes_3d"].shape == (1, k, 7)
     assert det["scores"].shape == (1, k)
