@@ -41,7 +41,13 @@ def _sample_grid(boxes, h, w, crop_hw):
     return jnp.clip(ys, 0.0, h - 1.0), jnp.clip(xs, 0.0, w - 1.0)
 
 
-def _crop_batch(images: jnp.ndarray, boxes: jnp.ndarray, crop_hw) -> jnp.ndarray:
+def _coords(boxes, h, w, crop_hw):
+    """boxes [B, N, 4] -> clipped sample coords ys [B, N, ch], xs [B, N, cw]."""
+
+    return jax.vmap(lambda bx: _sample_grid(bx, h, w, crop_hw))(boxes)
+
+
+def _crop_batch_impl(images: jnp.ndarray, boxes: jnp.ndarray, crop_hw) -> jnp.ndarray:
     """[B, H, W, C] + [B, N, 4] -> [B, N, ch, cw, C].
 
     PERF: one flat gather per bilinear corner over the fully flattened
@@ -57,7 +63,7 @@ def _crop_batch(images: jnp.ndarray, boxes: jnp.ndarray, crop_hw) -> jnp.ndarray
     b, h, w, c = images.shape
     ch, cw = crop_hw
     n = boxes.shape[1]
-    ys, xs = jax.vmap(lambda bx: _sample_grid(bx, h, w, crop_hw))(boxes)
+    ys, xs = _coords(boxes, h, w, crop_hw)
 
     # clamp starts to h-2/w-2 so a 2x2 patch always fits; dy/dx then range
     # [0, 1] and the bilinear blend reproduces the edge rows exactly
@@ -97,22 +103,103 @@ def _crop_batch(images: jnp.ndarray, boxes: jnp.ndarray, crop_hw) -> jnp.ndarray
     return top * (1 - dy) + bot * dy
 
 
+@functools.cache
+def _crop_with_vjp(crop_hw):
+    """custom_vjp wrapper: XLA's default transpose of the patch gather is a
+    general scatter-add that measured ~2.8 s/batch on TPU v5e (vs 47 ms
+    forward); the custom backward accumulates feature grads with ONE
+    segment_sum over flattened pixel indices (the fast sort-based lowering,
+    same as the SHPL pooling op) and pulls box grads through the coordinate
+    math with a cheap vjp."""
+
+    @jax.custom_vjp
+    def crop(images, boxes):
+        return _crop_batch_impl(images, boxes, crop_hw)
+
+    def fwd(images, boxes):
+        return _crop_batch_impl(images, boxes, crop_hw), (images, boxes)
+
+    def bwd(res, g):
+        images, boxes = res
+        b, h, w, c = images.shape
+        ch, cw = crop_hw
+        n = boxes.shape[1]
+        g = g.astype(jnp.float32)  # [B, N, ch, cw, C]
+
+        coords_fn = lambda bx: _coords(bx, h, w, crop_hw)
+        (ys, xs), coords_vjp = jax.vjp(coords_fn, boxes)
+        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, max(h - 2, 0))
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, max(w - 2, 0))
+        dy = (ys - y0)[:, :, :, None, None].astype(jnp.float32)
+        dx = (xs - x0)[:, :, None, :, None].astype(jnp.float32)
+
+        # corner weights
+        w00 = (1 - dy) * (1 - dx)
+        w01 = (1 - dy) * dx
+        w10 = dy * (1 - dx)
+        w11 = dy * dx
+
+        # ---- feature gradient: one segment_sum over flattened pixel ids
+        base = (jnp.arange(b) * (h * w))[:, None, None, None]
+        yg = jnp.broadcast_to(y0[:, :, :, None], (b, n, ch, cw))
+        xg = jnp.broadcast_to(x0[:, :, None, :], (b, n, ch, cw))
+        y1g = jnp.minimum(yg + 1, h - 1)
+        x1g = jnp.minimum(xg + 1, w - 1)
+        idx00 = (base + yg * w + xg).reshape(-1)
+        idx01 = (base + yg * w + x1g).reshape(-1)
+        idx10 = (base + y1g * w + xg).reshape(-1)
+        idx11 = (base + y1g * w + x1g).reshape(-1)
+        m = b * n * ch * cw
+        flat_ids = jnp.concatenate([idx00, idx01, idx10, idx11])
+        flat_grads = jnp.concatenate(
+            [
+                (g * w00).reshape(m, c),
+                (g * w01).reshape(m, c),
+                (g * w10).reshape(m, c),
+                (g * w11).reshape(m, c),
+            ]
+        )
+        g_images = jax.ops.segment_sum(
+            flat_grads, flat_ids, num_segments=b * h * w
+        ).reshape(b, h, w, c).astype(images.dtype)
+
+        # ---- box gradient: chain through dy/dx -> ys/xs -> boxes.
+        # Re-gather the corner values (cheap relative to the scatter this
+        # custom bwd avoids), then chain the bilinear blend analytically.
+        flat = images.reshape(b * h * w, c).astype(jnp.float32)
+        p00 = jnp.take(flat, idx00, axis=0).reshape(b, n, ch, cw, c)
+        p01 = jnp.take(flat, idx01, axis=0).reshape(b, n, ch, cw, c)
+        p10 = jnp.take(flat, idx10, axis=0).reshape(b, n, ch, cw, c)
+        p11 = jnp.take(flat, idx11, axis=0).reshape(b, n, ch, cw, c)
+        top = p00 * (1 - dx) + p01 * dx
+        bot = p10 * (1 - dx) + p11 * dx
+        g_dy = jnp.sum(g * (bot - top), axis=(3, 4))  # [B, N, ch]
+        g_dx = jnp.sum(
+            g * ((p01 - p00) * (1 - dy) + (p11 - p10) * dy), axis=(2, 4)
+        )  # [B, N, cw]
+        (g_boxes,) = coords_vjp((g_dy.astype(ys.dtype), g_dx.astype(xs.dtype)))
+        return g_images, g_boxes
+
+    crop.defvjp(fwd, bwd)
+    return crop
+
+
 def crop_and_resize_batch(
     images: jnp.ndarray, boxes: jnp.ndarray, crop_hw
 ) -> jnp.ndarray:
-    """[B, H, W, C] + [B, N, 4] -> [B, N, ch, cw, C] (see ``_crop_batch``).
+    """[B, H, W, C] + [B, N, 4] -> [B, N, ch, cw, C] (see ``_crop_batch_impl``).
 
     Call this (not vmap of the single-sample form) in batched code paths:
     XLA's batched-gather lowering of the vmapped form is ~15x slower.
     """
 
-    return _crop_batch(images, boxes, crop_hw)
+    return _crop_with_vjp((int(crop_hw[0]), int(crop_hw[1])))(images, boxes)
 
 
 def crop_and_resize(image: jnp.ndarray, boxes: jnp.ndarray, crop_hw) -> jnp.ndarray:
     """[H, W, C] image + [N, 4] normalized boxes -> [N, ch, cw, C]."""
 
-    return _crop_batch(image[None], boxes[None], crop_hw)[0]
+    return crop_and_resize_batch(image[None], boxes[None], crop_hw)[0]
 
 
 def crop_and_resize_numpy(image, boxes, crop_hw):
