@@ -1,3 +1,21 @@
-from sparse_pooling_tpu.runtime import checkpoint, evaluator, metrics, predictions, summary, trainer
+from sparse_pooling_tpu.runtime import (
+    checkpoint,
+    evaluator,
+    metrics,
+    predictions,
+    preprocess,
+    profiling,
+    summary,
+    trainer,
+)
 
-__all__ = ["checkpoint", "evaluator", "metrics", "predictions", "summary", "trainer"]
+__all__ = [
+    "checkpoint",
+    "evaluator",
+    "metrics",
+    "predictions",
+    "preprocess",
+    "profiling",
+    "summary",
+    "trainer",
+]

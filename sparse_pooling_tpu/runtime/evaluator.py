@@ -106,6 +106,13 @@ class Evaluator:
             n += 1
         dt = time.time() - t0
 
+        # image summary: first val frame with drawn predictions (reference:
+        # prediction-image summaries in summary_utils)
+        try:
+            self._image_summary(step, pred_dir, self.dataset.sample_ids[0])
+        except Exception as e:  # rendering must never fail an eval sweep
+            print(f"[evaluator] image summary failed: {e}")
+
         gt_dir = os.path.join(self.dataset.base, "label_2")
         ap = self._run_ap(gt_dir, pred_dir)
         result = {
@@ -124,6 +131,24 @@ class Evaluator:
         with open(os.path.join(self.workdir, f"eval_{step}.json"), "w") as f:
             json.dump(result, f, indent=2)
         return result
+
+    def _image_summary(self, step: int, pred_dir: str, sid: str):
+        from PIL import Image as PilImage
+
+        from sparse_pooling_tpu.data import calib as calib_mod
+        from sparse_pooling_tpu.data import labels as labels_mod
+        from sparse_pooling_tpu.demos import vis_utils
+
+        base = self.dataset.base
+        preds = labels_mod.read_labels(os.path.join(pred_dir, sid + ".txt"))
+        cal = calib_mod.read_calibration(os.path.join(base, "calib", sid + ".txt"))
+        img = np.asarray(
+            PilImage.open(os.path.join(base, "image_2", sid + ".png")).convert("RGB")
+        )
+        gt = labels_mod.read_labels(os.path.join(base, "label_2", sid + ".txt"))
+        out = vis_utils.draw_boxes_3d(img, preds, cal.p2)
+        out = vis_utils.draw_boxes_3d(out, gt, cal.p2, color_key="gt")
+        self.summary.image(step, f"predictions/{sid}", out)
 
     def _run_ap(self, gt_dir: str, pred_dir: str):
         try:

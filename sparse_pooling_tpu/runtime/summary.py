@@ -35,6 +35,22 @@ class SummaryWriter:
             for k, v in values.items():
                 self._tb.add_scalar(k, float(v), step)
 
+    def image(self, step: int, tag: str, image_hwc):
+        """Save a prediction-visualization image (reference: image summaries
+        with drawn boxes). PNG on disk + TB mirror when available."""
+
+        import numpy as np
+        from PIL import Image
+
+        img_dir = os.path.join(os.path.dirname(self._path), "images")
+        os.makedirs(img_dir, exist_ok=True)
+        arr = np.asarray(image_hwc, dtype="uint8")
+        Image.fromarray(arr).save(
+            os.path.join(img_dir, f"{tag.replace('/', '_')}_{step:08d}.png")
+        )
+        if self._tb is not None:
+            self._tb.add_image(tag, arr, step, dataformats="HWC")
+
     def close(self):
         if self._tb is not None:
             self._tb.close()
