@@ -1,4 +1,4 @@
-from sparse_pooling_tpu.models import backbone, detector, fusion, loss, pipeline
+from sparse_pooling_tpu.models import backbone, detector, fusion, fusion_rcnn, loss, pipeline
 from sparse_pooling_tpu.models.detector import (
     SparsePoolingDetector,
     decode_detections,
@@ -8,6 +8,7 @@ from sparse_pooling_tpu.models.pipeline import RawSample, forward_batch, make_mo
 
 __all__ = [
     "backbone",
+    "fusion_rcnn",
     "detector",
     "fusion",
     "loss",

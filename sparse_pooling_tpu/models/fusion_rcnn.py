@@ -1,0 +1,298 @@
+"""MV3D-style fusion R-CNN — the SECOND consumer of the SHPL layer.
+
+Capability parity with the reference's MV3D fork (SURVEY.md §1 item 2 and
+§2: a Faster-R-CNN-style "fusion-RPN" with the same SHPL cross-view pooling
+grafted in, plus the py-faster-rcnn native baggage — CUDA ROI pooling,
+Cython/CUDA NMS — which here reuse the same TPU-native ops as the AVOD
+stack: ``ops.crop_resize`` and ``ops.nms``). Its existence proves the SHPL
+layer and the surrounding op library are detector-agnostic.
+
+Architectural differences from the AVOD-style ``SparsePoolingDetector``,
+mirroring how MV3D differs from AVOD:
+
+  * the RPN is a DENSE CONVOLUTIONAL head over the fused BEV mid features
+    (Faster-R-CNN style: every lattice cell emits objectness + offsets for
+    each yaw-binned anchor), not crop-and-resize ROI fusion per anchor;
+  * anchors live on the fusion-lattice grid (one per cell per yaw bin), not
+    a point-filtered 0.5 m grid;
+  * the second stage pools ROIs from BOTH views and regresses plain anchor
+    offsets + orientation (MV3D's corner regression is approximated with
+    the shared offset encoding; box_4c remains AVOD-specific).
+
+Batch-native like the main detector.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_pooling_tpu.configs.config import AreaExtents, ModelConfig
+from sparse_pooling_tpu.models.backbone import VggPyramidExtractor
+from sparse_pooling_tpu.models.detector import Stage2Head, _dtype
+from sparse_pooling_tpu.models.fusion import SparsePoolFusion
+from sparse_pooling_tpu.ops import encoders, projection
+from sparse_pooling_tpu.ops.crop_resize import crop_and_resize_batch
+from sparse_pooling_tpu.ops.nms import top_k_nms_batch
+
+
+def rcnn_anchor_grid(cfg: ModelConfig, extents: AreaExtents) -> np.ndarray:
+    """Dense fusion-lattice anchors [Hf*Wf*R, 8] (y = 0, filled per frame).
+
+    One anchor per fused-BEV cell per yaw bin, matching the dense conv RPN
+    output layout (row-major cells, rotation fastest).
+    """
+
+    s = cfg.sparse_pool.fusion_stride
+    bh, bw = cfg.bev.padded_hw(extents)
+    hf, wf = bh // s, bw // s
+    cell = cfg.bev.voxel_size * s
+    zs = extents.z_min + (np.arange(hf) + 0.5) * cell
+    xs = extents.x_min + (np.arange(wf) + 0.5) * cell
+    gx, gz = np.meshgrid(xs, zs, indexing="xy")  # [hf, wf]
+    out = []
+    l, w, h = cfg.anchors.sizes[0]
+    for rot_idx in range(len(cfg.anchors.rotations)):
+        dim_x, dim_z = (l, w) if rot_idx % 2 == 0 else (w, l)
+        n = hf * wf
+        out.append(
+            np.stack(
+                [
+                    gx.reshape(-1), np.zeros(n), gz.reshape(-1),
+                    np.full(n, dim_x), np.full(n, h), np.full(n, dim_z),
+                    np.full(n, rot_idx, np.float64), np.zeros(n),
+                ],
+                axis=1,
+            )
+        )
+    # interleave rotations per cell: [cell0_rot0, cell0_rot1, cell1_rot0, ...]
+    stacked = np.stack(out, axis=1).reshape(-1, 8)
+    return stacked.astype(np.float32)
+
+
+class ConvRpnHead(nn.Module):
+    """Dense Faster-R-CNN-style RPN over the fused BEV lattice."""
+
+    channels: int
+    anchors_per_cell: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, feat):  # [B, Hf, Wf, C]
+        x = nn.relu(
+            nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="rpn_conv")(feat.astype(self.dtype))
+        )
+        r = self.anchors_per_cell
+        obj = nn.Conv(2 * r, (1, 1), dtype=jnp.float32, name="objectness")(x)
+        off = nn.Conv(6 * r, (1, 1), dtype=jnp.float32, name="offsets")(x)
+        b, hf, wf = obj.shape[0], obj.shape[1], obj.shape[2]
+        return (
+            obj.reshape(b, hf * wf * r, 2).astype(jnp.float32),
+            off.reshape(b, hf * wf * r, 6).astype(jnp.float32),
+        )
+
+
+class FusionRcnn(nn.Module):
+    """MV3D-style two-stage fusion detector (batch-native)."""
+
+    cfg: ModelConfig
+    extents: AreaExtents = AreaExtents()
+
+    def setup(self):
+        c = self.cfg
+        dt = _dtype(c)
+        self.bev_extractor = VggPyramidExtractor(
+            c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
+        )
+        self.img_extractor = VggPyramidExtractor(
+            c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
+        )
+        mid_ch = c.backbone.channels[-1]
+        self.bev_fusion = SparsePoolFusion(mid_ch, dt)
+        self.img_fusion = SparsePoolFusion(mid_ch, dt)
+        self.rpn_head = ConvRpnHead(
+            c.rpn.fusion_channels, len(c.anchors.rotations), dt
+        )
+        self.stage2_head = Stage2Head(
+            c.avod.fc_layers, c.num_classes, c.avod.keep_dropout_prob, dt
+        )
+
+    def __call__(self, inputs: Dict[str, Any], train: bool = False):
+        """inputs: bev_input [B,Hb,Wb,6], image [B,Hi,Wi,3], m_bev/m_fv
+        (DeviceCoo, [B,N] arrays), p2 [B,3,4], anchors [B,A,8] (the dense
+        grid from ``rcnn_anchor_grid`` with per-frame ground y)."""
+
+        c = self.cfg
+        ext = self.extents
+        img_hw = (c.image.height, c.image.width)
+
+        bev_mid, bev_skips = self.bev_extractor.encode(inputs["bev_input"])
+        img_mid, img_skips = self.img_extractor.encode(inputs["image"])
+        bev_mid_f = self.bev_fusion(bev_mid, img_mid, inputs["m_bev"])
+        img_mid_f = self.img_fusion(img_mid, bev_mid, inputs["m_fv"])
+
+        # dense conv RPN directly on the fused BEV mid lattice
+        objectness, offsets = self.rpn_head(bev_mid_f)
+
+        anchors = inputs["anchors"][..., :6]
+        proposals_all = encoders.offset_to_anchor(anchors, offsets)
+        scores_all = jax.nn.softmax(objectness, axis=-1)[..., 1]
+
+        nms_size = c.rpn.train_nms_size if train else c.rpn.eval_nms_size
+        prop_bev_all = projection.project_to_bev(proposals_all, ext)
+        sel = top_k_nms_batch(
+            prop_bev_all, scores_all, nms_size,
+            iou_threshold=c.rpn.nms_iou_thresh, pre_top_k=c.rpn.pre_nms_top_k,
+        )
+        proposals = jnp.take_along_axis(proposals_all, sel.indices[..., None], axis=1)
+        proposal_scores = jnp.where(
+            sel.valid, jnp.take_along_axis(scores_all, sel.indices, axis=1), 0.0
+        )
+
+        # stage 2: ROI pooling from the decoded full-res maps of BOTH views
+        bev_feat = self.bev_extractor.decode(bev_mid_f, bev_skips)
+        img_feat = self.img_extractor.decode(img_mid_f, img_skips)
+        s2 = c.avod.roi_size
+        prop_bev = projection.project_to_bev(proposals, ext)
+        prop_img = projection.project_to_image_space(proposals, inputs["p2"], img_hw)
+        rois = (
+            crop_and_resize_batch(bev_feat, prop_bev, (s2, s2)).astype(jnp.float32)
+            + crop_and_resize_batch(img_feat, prop_img, (s2, s2)).astype(jnp.float32)
+        ) / 2.0
+        cls_logits, box_offsets, orientation = self.stage2_head(rois, train)
+        # stage-2 regression reuses the 6-d anchor-offset encoding (first 6
+        # of the 10-wide head output; the rest are unused for this family)
+        box_offsets = box_offsets[..., :6]
+
+        return {
+            "objectness": objectness,
+            "rpn_offsets": offsets,
+            "anchors": inputs["anchors"],
+            "anchor_valid": jnp.ones(anchors.shape[:2], bool),
+            "proposals": proposals,
+            "proposal_scores": proposal_scores,
+            "proposal_valid": sel.valid,
+            "cls_logits": cls_logits,
+            "box_offsets": box_offsets,
+            "orientation": orientation,
+        }
+
+
+def decode_rcnn_detections(
+    outputs: Dict[str, jnp.ndarray],
+    cfg: ModelConfig,
+    extents: AreaExtents = AreaExtents(),
+):
+    """Decode stage-2 anchor offsets + orientation to box_3d + per-class NMS."""
+
+    from sparse_pooling_tpu.ops.nms import nms_batch
+
+    proposals = outputs["proposals"]
+    refined = encoders.offset_to_anchor(proposals, outputs["box_offsets"])
+    ry = encoders.vector_to_angle(outputs["orientation"])
+    boxes_3d = encoders.anchor_to_box_3d(refined, ry)
+
+    probs = jax.nn.softmax(outputs["cls_logits"], axis=-1)
+    bev_boxes = projection.project_to_bev(refined, extents)
+    k = cfg.avod.nms_size
+    all_boxes, all_scores, all_valid = [], [], []
+    for ci in range(cfg.num_classes):
+        scores = jnp.where(outputs["proposal_valid"], probs[..., ci + 1], -jnp.inf)
+        res = nms_batch(bev_boxes, scores, k, iou_threshold=cfg.avod.nms_iou_thresh)
+        cls_scores = jnp.where(
+            res.valid, jnp.take_along_axis(scores, res.indices, axis=1), 0.0
+        )
+        all_boxes.append(jnp.take_along_axis(boxes_3d, res.indices[..., None], axis=1))
+        all_scores.append(cls_scores)
+        all_valid.append(res.valid & (cls_scores > 0))
+    return {
+        "boxes_3d": jnp.stack(all_boxes, axis=1),
+        "scores": jnp.stack(all_scores, axis=1),
+        "valid": jnp.stack(all_valid, axis=1),
+    }
+
+
+def rcnn_loss(
+    outputs: Dict[str, jnp.ndarray],
+    gt_boxes_3d: jnp.ndarray,  # [B, G, 7]
+    gt_valid: jnp.ndarray,
+    gt_classes: jnp.ndarray,
+    rng: jax.Array,
+    cfg: ModelConfig,
+    extents: AreaExtents = AreaExtents(),
+):
+    """RPN + stage-2 loss for the R-CNN family (per-sample vmap, mean)."""
+
+    import functools
+
+    from sparse_pooling_tpu.ops.losses import weighted_smooth_l1, weighted_softmax_ce
+    from sparse_pooling_tpu.ops.target_assign import sample_minibatch
+
+    def one(out, gt3d, gtv, gtc, r):
+        r1, r2 = jax.random.split(r)
+        gt_anchors = encoders.box_3d_to_anchor(gt3d)
+        gt_bev = projection.project_to_bev(gt_anchors, extents)
+        anchors = out["anchors"][..., :6]
+        anchor_bev = projection.project_to_bev(anchors, extents)
+        mb = sample_minibatch(
+            anchor_bev, out["anchor_valid"], gt_bev, gtv, gtc, r1,
+            cfg.mini_batch.rpn_batch_size,
+            neg_iou=cfg.mini_batch.rpn_neg_iou, pos_iou=cfg.mini_batch.rpn_pos_iou,
+        )
+        obj = jnp.take(out["objectness"], mb.indices, axis=0)
+        obj_onehot = jax.nn.one_hot(mb.is_pos.astype(jnp.int32), 2)
+        rpn_obj = weighted_softmax_ce(obj, obj_onehot, mb.weights)
+        tgt = encoders.anchor_to_offset(
+            jnp.take(anchors, mb.indices, axis=0),
+            jnp.take(gt_anchors, mb.gt_idx, axis=0),
+        )
+        pos_w = mb.weights * mb.is_pos.astype(jnp.float32)
+        rpn_reg = weighted_smooth_l1(
+            jnp.take(out["rpn_offsets"], mb.indices, axis=0), tgt, pos_w
+        )
+
+        props = out["proposals"]
+        prop_bev = projection.project_to_bev(props, extents)
+        mb2 = sample_minibatch(
+            prop_bev, out["proposal_valid"], gt_bev, gtv, gtc, r2,
+            min(cfg.mini_batch.avod_batch_size, props.shape[0]),
+            neg_iou=cfg.mini_batch.avod_neg_iou, pos_iou=cfg.mini_batch.avod_pos_iou,
+        )
+        cls = jnp.take(out["cls_logits"], mb2.indices, axis=0)
+        cls_onehot = jax.nn.one_hot(mb2.cls_target, cfg.num_classes + 1)
+        s2_cls = weighted_softmax_ce(cls, cls_onehot, mb2.weights)
+        gt_sel = jnp.take(gt3d, mb2.gt_idx, axis=0)
+        tgt2 = encoders.anchor_to_offset(
+            jnp.take(props, mb2.indices, axis=0),
+            encoders.box_3d_to_anchor(gt_sel),
+        )
+        pos_w2 = mb2.weights * mb2.is_pos.astype(jnp.float32)
+        s2_reg = weighted_smooth_l1(
+            jnp.take(out["box_offsets"], mb2.indices, axis=0), tgt2, pos_w2
+        )
+        s2_ang = weighted_smooth_l1(
+            jnp.take(out["orientation"], mb2.indices, axis=0),
+            encoders.angle_to_vector(gt_sel[..., 6]), pos_w2,
+        )
+        total = (
+            cfg.rpn.loss_objectness_weight * rpn_obj
+            + cfg.rpn.loss_regression_weight * rpn_reg
+            + cfg.avod.loss_cls_weight * s2_cls
+            + cfg.avod.loss_reg_weight * s2_reg
+            + cfg.avod.loss_ang_weight * s2_ang
+        )
+        return {
+            "total": total, "rpn_objectness": rpn_obj, "rpn_regression": rpn_reg,
+            "cls": s2_cls, "reg": s2_reg, "orientation": s2_ang,
+            "num_rpn_pos": jnp.sum(mb.is_pos), "num_s2_pos": jnp.sum(mb2.is_pos),
+        }
+
+    b = gt_boxes_3d.shape[0]
+    rngs = jax.random.split(rng, b)
+    losses = jax.vmap(one)(dict(outputs), gt_boxes_3d, gt_valid, gt_classes, rngs)
+    return jax.tree.map(jnp.mean, losses)

@@ -1,0 +1,107 @@
+"""MV3D-style FusionRcnn: second consumer of the SHPL layer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_pooling_tpu.configs import AreaExtents, unittest_config
+from sparse_pooling_tpu.models import fusion_rcnn as fr
+from sparse_pooling_tpu.models import pipeline as pl
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = unittest_config().model
+    ext = AreaExtents()
+    model = fr.FusionRcnn(cfg=cfg, extents=ext)
+    anchors = jnp.array(fr.rcnn_anchor_grid(cfg, ext))
+
+    rng = np.random.RandomState(0)
+    p = cfg.sparse_pool.max_points
+    pts = np.zeros((p, 3), np.float32)
+    n = 600
+    pts[:n, 0] = rng.uniform(-20, 20, n)
+    pts[:n, 1] = 1.65
+    pts[:n, 2] = rng.uniform(5, 50, n)
+    mask = np.zeros((p,), bool)
+    mask[:n] = True
+    raw = pl.RawSample(
+        points=jnp.array(pts), points_mask=jnp.array(mask),
+        image=jnp.full((cfg.image.height, cfg.image.width, 3), 100, jnp.uint8),
+        p2=jnp.array([[70.0, 0, 80.0, 0], [0, 70.0, 24.0, 0], [0, 0, 1.0, 0]], jnp.float32),
+        ground_plane=jnp.array([0.0, -1.0, 0.0, 1.65], jnp.float32),
+        gt_boxes_3d=jnp.zeros((8, 7)).at[0].set(jnp.array([1.0, 1.65, 21.0, 3.9, 1.6, 1.5, 0.2])),
+        gt_valid=jnp.zeros((8,), bool).at[0].set(True),
+        gt_classes=jnp.zeros((8,), jnp.int32).at[0].set(1),
+    )
+    batch = jax.tree.map(lambda x: jnp.stack([x, x]), raw)
+    inputs = pl.build_model_inputs_batch(
+        batch, jnp.array(pl.static_anchor_grid(cfg, ext)),
+        jnp.ones((2, 2), jnp.float32), cfg, ext,
+    )
+    # replace AVOD's filtered anchors with the dense R-CNN grid (ground y)
+    from sparse_pooling_tpu.models.pipeline import anchors_with_ground_y
+
+    dense = jax.vmap(lambda pl_: anchors_with_ground_y(anchors, pl_))(batch.ground_plane)
+    inputs["anchors"] = dense
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key}, inputs, train=False)
+    return cfg, ext, model, inputs, batch, params
+
+
+def test_anchor_grid_layout():
+    cfg = unittest_config().model
+    ext = AreaExtents()
+    grid = fr.rcnn_anchor_grid(cfg, ext)
+    s = cfg.sparse_pool.fusion_stride
+    bh, bw = cfg.bev.padded_hw(ext)
+    assert grid.shape == ((bh // s) * (bw // s) * 2, 8)
+    # rotations interleave per cell and swap footprints
+    np.testing.assert_allclose(grid[0, [3, 5]], [3.913, 1.629], atol=1e-3)
+    np.testing.assert_allclose(grid[1, [3, 5]], [1.629, 3.913], atol=1e-3)
+    np.testing.assert_allclose(grid[0, [0, 2]], grid[1, [0, 2]])
+
+
+def test_forward_shapes(setup):
+    cfg, ext, model, inputs, batch, params = setup
+    out = model.apply(params, inputs, train=False)
+    b = 2
+    a = inputs["anchors"].shape[1]
+    p = cfg.rpn.eval_nms_size
+    assert out["objectness"].shape == (b, a, 2)
+    assert out["proposals"].shape == (b, p, 6)
+    assert out["cls_logits"].shape == (b, p, cfg.num_classes + 1)
+    assert out["box_offsets"].shape == (b, p, 6)
+    assert bool(jnp.isfinite(out["proposals"]).all())
+
+
+def test_decode_and_loss(setup):
+    cfg, ext, model, inputs, batch, params = setup
+    out = model.apply(params, inputs, train=False)
+    det = fr.decode_rcnn_detections(out, cfg, ext)
+    assert det["boxes_3d"].shape == (2, 1, cfg.avod.nms_size, 7)
+
+    key = jax.random.PRNGKey(1)
+    losses = fr.rcnn_loss(
+        out, batch.gt_boxes_3d, batch.gt_valid, batch.gt_classes, key, cfg, ext
+    )
+    assert np.isfinite(float(losses["total"]))
+    assert 0.2 < float(losses["rpn_objectness"]) < 2.0
+
+
+def test_grads_flow(setup):
+    cfg, ext, model, inputs, batch, params = setup
+    key = jax.random.PRNGKey(2)
+
+    def loss_fn(p):
+        out = model.apply(p, inputs, train=True, rngs={"dropout": key})
+        return fr.rcnn_loss(
+            out, batch.gt_boxes_3d, batch.gt_valid, batch.gt_classes, key, cfg, ext
+        )["total"]
+
+    grads = jax.grad(loss_fn)(params)
+    gnorm = float(
+        jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads)))
+    )
+    assert np.isfinite(gnorm) and gnorm > 0
