@@ -200,6 +200,10 @@ class PathDropConfig:
 
 @_freeze
 class ModelConfig:
+    # "avod": the flagship two-stage AVOD-style detector (crop-based RPN,
+    # box_4c stage 2). "rcnn": the MV3D-style FusionRcnn second consumer
+    # (dense conv RPN, anchor-offset stage 2).
+    architecture: str = "avod"
     classes: Tuple[str, ...] = ("Car",)
     bev: BevConfig = BevConfig()
     image: ImageConfig = ImageConfig()

@@ -43,6 +43,10 @@ class RawSample(NamedTuple):
 def static_anchor_grid(cfg: ModelConfig, extents: AreaExtents) -> np.ndarray:
     """Compile-time anchor constant [N, 8] with y=0 (filled per frame)."""
 
+    if cfg.architecture == "rcnn":
+        from sparse_pooling_tpu.models.fusion_rcnn import rcnn_anchor_grid
+
+        return rcnn_anchor_grid(cfg, extents)
     plane0 = np.array([0.0, -1.0, 0.0, 0.0])
     return anchor_ops.generate_anchors_np(cfg.anchors, extents, plane0).astype(
         np.float32
@@ -70,6 +74,12 @@ def make_model(cfg: ModelConfig, extents: AreaExtents = AreaExtents()):
     for name, (h, w) in {"bev": (bh, bw), "image": (cfg.image.height, cfg.image.width)}.items():
         if h % s or w % s:
             raise ValueError(f"{name} lattice {h}x{w} not divisible by stride {s}")
+    if cfg.architecture == "rcnn":
+        from sparse_pooling_tpu.models.fusion_rcnn import FusionRcnn
+
+        return FusionRcnn(cfg=cfg, extents=extents)
+    if cfg.architecture != "avod":
+        raise ValueError(f"unknown architecture '{cfg.architecture}'")
     return SparsePoolingDetector(cfg=cfg, extents=extents)
 
 
@@ -104,11 +114,19 @@ def _build_inputs_one(
             raw.points, raw.points_mask, extents, cfg.bev.voxel_size
         )
     anchors_frame = anchors_with_ground_y(anchors_static, raw.ground_plane)
-    filtered = anchor_ops.filter_anchors_device(
-        anchors_frame, occupancy, extents, cfg.bev,
-        max_anchors=cfg.anchors.max_anchors,
-        density_threshold=cfg.anchors.density_threshold,
-    )
+    if cfg.architecture == "rcnn":
+        # dense conv-RPN grid: every lattice anchor stays live (the conv
+        # head scores all of them), no point-occupancy filtering
+        filtered = anchor_ops.FilteredAnchors(
+            anchors=anchors_frame,
+            valid=jnp.ones((anchors_frame.shape[0],), bool),
+        )
+    else:
+        filtered = anchor_ops.filter_anchors_device(
+            anchors_frame, occupancy, extents, cfg.bev,
+            max_anchors=cfg.anchors.max_anchors,
+            density_threshold=cfg.anchors.density_threshold,
+        )
 
     return {
         "bev_input": bev_input,
@@ -230,3 +248,33 @@ def forward_batch(
     return forward_batch_fn(
         model, params, batch, anchors_static, cfg, extents, train, rng
     )
+
+
+def loss_batch(outputs, batch: RawSample, rng, cfg: ModelConfig, extents: AreaExtents):
+    """Architecture-dispatched batched loss."""
+
+    if cfg.architecture == "rcnn":
+        from sparse_pooling_tpu.models.fusion_rcnn import rcnn_loss
+
+        return rcnn_loss(
+            outputs, batch.gt_boxes_3d, batch.gt_valid, batch.gt_classes,
+            rng, cfg, extents,
+        )
+    from sparse_pooling_tpu.models.loss import detector_loss_batch
+
+    return detector_loss_batch(
+        outputs, batch.gt_boxes_3d, batch.gt_valid, batch.gt_classes,
+        batch.ground_plane, rng, cfg, extents,
+    )
+
+
+def decode_batch(outputs, ground_plane, cfg: ModelConfig, extents: AreaExtents):
+    """Architecture-dispatched batched decode."""
+
+    if cfg.architecture == "rcnn":
+        from sparse_pooling_tpu.models.fusion_rcnn import decode_rcnn_detections
+
+        return decode_rcnn_detections(outputs, cfg, extents)
+    from sparse_pooling_tpu.models.detector import decode_detections
+
+    return decode_detections(outputs, ground_plane, cfg, extents)

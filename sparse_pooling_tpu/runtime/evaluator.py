@@ -26,7 +26,6 @@ import numpy as np
 from sparse_pooling_tpu.configs.config import AreaExtents, PipelineConfig
 from sparse_pooling_tpu.data.dataset import KittiDataset
 from sparse_pooling_tpu.models import pipeline as pl
-from sparse_pooling_tpu.models.detector import decode_detections_single
 from sparse_pooling_tpu.runtime import checkpoint as ckpt_mod
 from sparse_pooling_tpu.runtime import metrics as metrics_mod
 from sparse_pooling_tpu.runtime import predictions as pred_mod
@@ -60,10 +59,12 @@ class Evaluator:
 
         @jax.jit
         def eval_fn(params, raw: pl.RawSample):
-            out = pl.forward_single(
-                self.model, params, raw, self.anchors_static, cfg, ext, False
+            batch = jax.tree.map(lambda x: x[None], raw)
+            out = pl.forward_batch_fn(
+                self.model, params, batch, self.anchors_static, cfg, ext, False
             )
-            return decode_detections_single(out, raw.ground_plane, cfg, ext)
+            det = pl.decode_batch(out, batch.ground_plane, cfg, ext)
+            return jax.tree.map(lambda x: x[0], det)
 
         return eval_fn
 

@@ -65,10 +65,7 @@ def make_train_step(model, tx, anchors_static, cfg, extents):
         out = pl.forward_batch_fn(
             model, params, batch, anchors_static, mc, extents, True, r_fwd
         )
-        losses = loss_mod.detector_loss_batch(
-            out, batch.gt_boxes_3d, batch.gt_valid, batch.gt_classes,
-            batch.ground_plane, r_loss, mc, extents,
-        )
+        losses = pl.loss_batch(out, batch, r_loss, mc, extents)
         return losses["total"], losses
 
     @jax.jit
