@@ -44,6 +44,19 @@ def cars_pyramid_config() -> PipelineConfig:
     )
 
 
+def rcnn_cars_config() -> PipelineConfig:
+    """Cars with the MV3D-style FusionRcnn (the second consumer family)."""
+
+    return PipelineConfig(
+        checkpoint_name="rcnn_cars_shpl",
+        model=ModelConfig(
+            architecture="rcnn",
+            classes=("Car",),
+            anchors=AnchorConfig(sizes=(CAR_SIZE,)),
+        ),
+    )
+
+
 def people_pyramid_config() -> PipelineConfig:
     """Pedestrian + Cyclist, shared config (reference people config)."""
 
@@ -114,6 +127,7 @@ def unittest_config(dataset_root: str = "tests/fixtures/kitti") -> PipelineConfi
 def preset(name: str) -> PipelineConfig:
     presets = {
         "cars": cars_pyramid_config,
+        "rcnn_cars": rcnn_cars_config,
         "people": people_pyramid_config,
         "unittest": unittest_config,
     }

@@ -55,21 +55,23 @@ def rcnn_anchor_grid(cfg: ModelConfig, extents: AreaExtents) -> np.ndarray:
     xs = extents.x_min + (np.arange(wf) + 0.5) * cell
     gx, gz = np.meshgrid(xs, zs, indexing="xy")  # [hf, wf]
     out = []
-    l, w, h = cfg.anchors.sizes[0]
-    for rot_idx in range(len(cfg.anchors.rotations)):
-        dim_x, dim_z = (l, w) if rot_idx % 2 == 0 else (w, l)
-        n = hf * wf
-        out.append(
-            np.stack(
-                [
-                    gx.reshape(-1), np.zeros(n), gz.reshape(-1),
-                    np.full(n, dim_x), np.full(n, h), np.full(n, dim_z),
-                    np.full(n, rot_idx, np.float64), np.zeros(n),
-                ],
-                axis=1,
+    for cls_idx, (l, w, h) in enumerate(cfg.anchors.sizes):
+        for rot_idx in range(len(cfg.anchors.rotations)):
+            dim_x, dim_z = (l, w) if rot_idx % 2 == 0 else (w, l)
+            n = hf * wf
+            out.append(
+                np.stack(
+                    [
+                        gx.reshape(-1), np.zeros(n), gz.reshape(-1),
+                        np.full(n, dim_x), np.full(n, h), np.full(n, dim_z),
+                        np.full(n, rot_idx, np.float64),
+                        np.full(n, cls_idx, np.float64),
+                    ],
+                    axis=1,
+                )
             )
-        )
-    # interleave rotations per cell: [cell0_rot0, cell0_rot1, cell1_rot0, ...]
+    # interleave (size, rotation) per cell: [cell0_s0r0, cell0_s0r1,
+    # cell0_s1r0, ..., cell1_s0r0, ...] matching the conv head layout
     stacked = np.stack(out, axis=1).reshape(-1, 8)
     return stacked.astype(np.float32)
 
@@ -116,7 +118,8 @@ class FusionRcnn(nn.Module):
         self.bev_fusion = SparsePoolFusion(mid_ch, dt)
         self.img_fusion = SparsePoolFusion(mid_ch, dt)
         self.rpn_head = ConvRpnHead(
-            c.rpn.fusion_channels, len(c.anchors.rotations), dt
+            c.rpn.fusion_channels,
+            len(c.anchors.rotations) * len(c.anchors.sizes), dt,
         )
         self.stage2_head = Stage2Head(
             c.avod.fc_layers, c.num_classes, c.avod.keep_dropout_prob, dt
