@@ -1,0 +1,68 @@
+"""Training CLI.
+
+Capability parity with ``avod/experiments/run_training.py``:
+``python -m sparse_pooling_tpu.experiments.run_training
+--pipeline_config=cfg.json`` (or ``--preset cars``) with data-split and
+device options. Config files are JSON (see ``configs.config``); presets
+mirror the reference's example configs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pipeline_config", default=None, help="JSON pipeline config path")
+    p.add_argument("--preset", default="cars", choices=["cars", "rcnn_cars", "people", "unittest"])
+    p.add_argument("--data_split", default=None, help="train | val | trainval")
+    p.add_argument("--dataset_root", default=None)
+    p.add_argument("--experiments_dir", default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--device", default=None, help="jax platform override (cpu/tpu)")
+    return p.parse_args(argv)
+
+
+def load_config(args):
+    from sparse_pooling_tpu.configs import pipeline_config_from_file
+    from sparse_pooling_tpu.configs.presets import preset
+
+    cfg = (
+        pipeline_config_from_file(args.pipeline_config)
+        if args.pipeline_config
+        else preset(args.preset)
+    )
+    ds = cfg.dataset
+    if getattr(args, "data_split", None):
+        ds = dataclasses.replace(ds, split=args.data_split)
+    if getattr(args, "dataset_root", None):
+        ds = dataclasses.replace(ds, root=args.dataset_root)
+    cfg = dataclasses.replace(cfg, dataset=ds)
+    if getattr(args, "experiments_dir", None):
+        cfg = dataclasses.replace(cfg, experiments_dir=args.experiments_dir)
+    if getattr(args, "batch_size", None):
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch_size)
+        )
+    return cfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    cfg = load_config(args)
+    from sparse_pooling_tpu.runtime.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    state = trainer.train(max_steps=args.max_steps)
+    print(f"[run_training] finished at step {state.step}")
+
+
+if __name__ == "__main__":
+    main()
