@@ -1,3 +1,29 @@
-from sparse_pooling_tpu.ops import bev_device, pallas_sparse_pool, sparse_pool
+from sparse_pooling_tpu.ops import (
+    anchors,
+    bev_device,
+    crop_resize,
+    encoders,
+    iou,
+    losses,
+    nms,
+    pallas_sparse_pool,
+    projection,
+    sparse_build,
+    sparse_pool,
+    target_assign,
+)
 
-__all__ = ["bev_device", "pallas_sparse_pool", "sparse_pool"]
+__all__ = [
+    "anchors",
+    "bev_device",
+    "crop_resize",
+    "encoders",
+    "iou",
+    "losses",
+    "nms",
+    "pallas_sparse_pool",
+    "projection",
+    "sparse_build",
+    "sparse_pool",
+    "target_assign",
+]
