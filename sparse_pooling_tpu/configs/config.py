@@ -160,6 +160,12 @@ class RpnConfig:
     """Region proposal network (reference: ``models/rpn_model.py``)."""
 
     proposal_roi_size: int = 3  # crop_and_resize 3x3
+    # >1: RPN BEV ROIs crop from an avg-pooled (stride) map via the
+    # patch-einsum path — 1 gather descriptor per anchor instead of 9
+    # (descriptor latency dominates TPU gathers; ROADMAP.md). 8 keeps
+    # car-sized boxes (<6m) inside the 8x8 window at 0.1 m voxels, so
+    # sampling stays exact bilinear on the pooled lattice.
+    bev_roi_stride: int = 1
     fusion_channels: int = 256  # conv head width after ROI fusion
     nms_iou_thresh: float = 0.8
     train_nms_size: int = 1024

@@ -36,7 +36,10 @@ from sparse_pooling_tpu.configs.config import AreaExtents, ModelConfig
 from sparse_pooling_tpu.models.backbone import VggPyramidExtractor
 from sparse_pooling_tpu.models.fusion import SparsePoolFusion
 from sparse_pooling_tpu.ops import encoders, projection
-from sparse_pooling_tpu.ops.crop_resize import crop_and_resize_batch
+from sparse_pooling_tpu.ops.crop_resize import (
+    crop_and_resize_batch,
+    crop_and_resize_patch_einsum,
+)
 from sparse_pooling_tpu.ops.nms import nms_batch, top_k_nms_batch
 from sparse_pooling_tpu.ops.sparse_build import DeviceCoo
 
@@ -159,7 +162,12 @@ class SparsePoolingDetector(nn.Module):
         img_boxes = projection.project_to_image_space(anchors, inputs["p2"], img_hw)
 
         s = c.rpn.proposal_roi_size
-        bev_rois = crop_and_resize_batch(bev_feat, bev_boxes, (s, s))
+        if c.rpn.bev_roi_stride > 1:
+            st = c.rpn.bev_roi_stride
+            bev_src = nn.avg_pool(bev_feat, (st, st), strides=(st, st))
+            bev_rois = crop_and_resize_patch_einsum(bev_src, bev_boxes, (s, s))
+        else:
+            bev_rois = crop_and_resize_batch(bev_feat, bev_boxes, (s, s))
         img_rois = crop_and_resize_batch(img_feat, img_boxes, (s, s))
         denom = jnp.maximum(bev_keep + img_keep, 1.0)[:, None, None, None, None]
         rois = (bev_rois.astype(jnp.float32) + img_rois.astype(jnp.float32)) / denom

@@ -202,6 +202,57 @@ def crop_and_resize(image: jnp.ndarray, boxes: jnp.ndarray, crop_hw) -> jnp.ndar
     return crop_and_resize_batch(image[None], boxes[None], crop_hw)[0]
 
 
+def crop_and_resize_patch_einsum(
+    images: jnp.ndarray, boxes: jnp.ndarray, crop_hw, patch: int = 8
+) -> jnp.ndarray:
+    """Patch-einsum crop: ONE gather descriptor per box, bilinear on the MXU.
+
+    Gathers a single [patch, patch, C] window per box (descriptors / ch*cw
+    vs ``crop_and_resize_batch``) and evaluates the ch x cw bilinear sample
+    grid inside it with separable tent-weight einsums. TPU gathers cost
+    ~40 ns/descriptor regardless of slice size (measured, ROADMAP.md), so
+    this trades descriptor latency for trivial MXU FLOPs.
+
+    EXACT equality with ``crop_and_resize_batch`` whenever every box spans
+    <= patch-1 source cells in each axis; larger boxes have their outer
+    samples clamped to the window edge (use on coarse lattices where box
+    spans fit, e.g. RPN ROIs on a stride-pooled BEV map).
+    """
+
+    b, h, w, c = images.shape
+    ch, cw = crop_hw
+    n = boxes.shape[1]
+    ys, xs = _coords(boxes, h, w, crop_hw)  # [B, N, ch], [B, N, cw]
+
+    # window start at the first (smallest) sample coordinate
+    y_start = jnp.clip(jnp.floor(ys[..., 0]).astype(jnp.int32), 0, max(h - patch, 0))
+    x_start = jnp.clip(jnp.floor(xs[..., 0]).astype(jnp.int32), 0, max(w - patch, 0))
+    bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, n))
+    starts = jnp.stack([bidx, y_start, x_start], axis=-1).reshape(-1, 3)
+    patches = jax.lax.gather(
+        images,
+        starts,
+        dimension_numbers=jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2),
+        ),
+        slice_sizes=(1, min(patch, h), min(patch, w), c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(b, n, min(patch, h), min(patch, w), c)
+
+    rel_y = jnp.clip(ys - y_start[..., None], 0.0, patch - 1.0)  # [B, N, ch]
+    rel_x = jnp.clip(xs - x_start[..., None], 0.0, patch - 1.0)
+    grid = jnp.arange(min(patch, h), dtype=rel_y.dtype)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(rel_y[..., None] - grid))  # [B,N,ch,P]
+    grid_x = jnp.arange(min(patch, w), dtype=rel_x.dtype)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rel_x[..., None] - grid_x))
+    return jnp.einsum(
+        "bnip,bnjq,bnpqc->bnijc", wy.astype(images.dtype), wx.astype(images.dtype),
+        patches, preferred_element_type=images.dtype,
+    )
+
+
 def crop_and_resize_numpy(image, boxes, crop_hw):
     """Host oracle twin (identical sampling math in float64)."""
 
