@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import zlib
 from typing import Iterator, List, Optional
 
 import numpy as np
@@ -175,10 +176,13 @@ class KittiDataset:
             samples = [
                 self.load_sample(
                     sid,
+                    # per-(epoch, sample) seed; non-numeric sample ids hash
+                    # via crc32 so every sample still augments independently
                     augment_seed=(
-                        (self.cfg.seed + epoch) * 100003 + int(sid)
-                        if augment and sid.isdigit()
-                        else (self.cfg.seed + epoch if augment else None)
+                        (self.cfg.seed + epoch) * 100003
+                        + (int(sid) if sid.isdigit() else zlib.crc32(sid.encode()))
+                        if augment
+                        else None
                     ),
                 )
                 for sid in chunk

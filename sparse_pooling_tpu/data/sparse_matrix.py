@@ -139,7 +139,7 @@ def _pad_coo(
         top = np.sort(np.argsort(-vals)[:cap])
         rows, cols, vals = rows[top], cols[top], vals[top]
     # padding uses the LAST row index with weight 0 so rows stay ascending
-    # (sparse_pool_coo passes indices_are_sorted=True to segment_sum)
+    # (host-built COO may pass indices_are_sorted=True to sparse_pool_coo)
     r = np.full((cap,), pad_row, dtype=np.int32)
     c = np.zeros((cap,), dtype=np.int32)
     v = np.zeros((cap,), dtype=np.float32)

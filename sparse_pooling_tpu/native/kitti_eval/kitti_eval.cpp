@@ -255,6 +255,9 @@ double EvaluateOne(const std::vector<Frame>& frames, const std::string& cls,
     std::vector<bool> matched(fr.gt.size(), false);
     for (int di : det_idx) {
       const Label& d = fr.det[di];
+      // devkit ignored_det semantics: a detection below the difficulty's
+      // min bbox height may consume a GT but is never a TP and never an FP.
+      bool d_small = (d.y2 - d.y1) < diff.min_height;
       double best_ov = 0.0;
       int best_gi = -1;
       for (size_t gi = 0; gi < fr.gt.size(); ++gi) {
@@ -270,13 +273,14 @@ double EvaluateOne(const std::vector<Frame>& frames, const std::string& cls,
       }
       if (best_gi >= 0 && best_ov >= min_ov) {
         matched[best_gi] = true;
-        if (status[best_gi] == 1) {
+        if (status[best_gi] == 1 && !d_small) {
           score_tp.emplace_back(d.score, true);
         }
-        // matched an ignored GT: neither TP nor FP — dropped entirely
-      } else {
+        // matched an ignored GT (or the det is ignored): neither TP nor FP
+      } else if (!d_small) {
         score_tp.emplace_back(d.score, false);
       }
+      // small unmatched det: ignored, not an FP
     }
   }
   return AveragePrecision(std::move(score_tp), n_gt, n_points);

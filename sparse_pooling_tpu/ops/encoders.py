@@ -121,6 +121,20 @@ def box_3d_to_corners(boxes_3d):
 
 # ---------------------------------------------------------------- box_4c
 
+def _unit_plane(ground_plane):
+    """Normalize [..., 4] plane coefficients to a unit normal.
+
+    h1/h2 are SIGNED DISTANCES to the plane; with an unnormalized plane the
+    encode would scale heights by ||n|| (and decode would shrink them back
+    inconsistently). The data loader normalizes planes.txt on read, this
+    guards direct callers.
+    """
+
+    ground_plane = jnp.asarray(ground_plane)
+    norm = jnp.sqrt(jnp.sum(ground_plane[..., :3] ** 2, axis=-1, keepdims=True))
+    return ground_plane / jnp.maximum(norm, 1e-12)
+
+
 def box_3d_to_box_4c(boxes_3d, ground_plane):
     """[..., 7] box_3d -> [..., 10] box_4c (reference box_4c_encoder).
 
@@ -133,7 +147,7 @@ def box_3d_to_box_4c(boxes_3d, ground_plane):
     """
 
     boxes_3d = jnp.asarray(boxes_3d)
-    ground_plane = jnp.asarray(ground_plane)
+    ground_plane = _unit_plane(ground_plane)
     corners = box_3d_to_corners(boxes_3d)  # [..., 8, 3]
     ground = corners[..., :4, :]  # bottom face
     a = ground_plane[..., 0]
@@ -159,7 +173,7 @@ def box_4c_to_box_3d(box_4c, ground_plane):
     """[..., 10] box_4c -> [..., 7] box_3d (best-fit rectangle decode)."""
 
     box_4c = jnp.asarray(box_4c)
-    ground_plane = jnp.asarray(ground_plane)
+    ground_plane = _unit_plane(ground_plane)
     xs, zs = box_4c[..., :4], box_4c[..., 4:8]
     h1, h2 = box_4c[..., 8], box_4c[..., 9]
     xc = jnp.mean(xs, axis=-1)

@@ -154,6 +154,4 @@ def nms_numpy(boxes, scores, max_outputs, iou_threshold=0.5):
         iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0)
         scores[(iou > iou_threshold)] = -np.inf
         scores[best] = -np.inf
-    import numpy as np
-
     return np.array(idx_out), np.array(valid_out)

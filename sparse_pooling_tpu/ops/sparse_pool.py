@@ -31,16 +31,20 @@ def sparse_pool_coo(
     cols: jnp.ndarray,  # [N] int32 source row per entry
     vals: jnp.ndarray,  # [N] f32 weights (0 on padding)
     num_targets: int,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     """COO sparse-dense matmul: out[t] = sum_i vals[i] * src[cols[i]] for rows[i]==t.
 
-    ``data.sparse_matrix`` emits rows sorted ascending (padding at the end
-    with weight 0), which XLA exploits via ``indices_are_sorted``.
+    Pass ``indices_are_sorted=True`` ONLY for row-sorted COO (the host
+    builder ``data.sparse_matrix`` emits sorted rows with padding at the
+    end); the device builder ``ops.sparse_build`` emits rows in point order,
+    and lying to XLA about sortedness is implementation-defined on the TPU
+    sorted-scatter lowering. Default is the safe unsorted path.
     """
 
     g = jnp.take(src_feat, cols, axis=0) * vals[:, None]
     return jax.ops.segment_sum(
-        g, rows, num_segments=num_targets, indices_are_sorted=True
+        g, rows, num_segments=num_targets, indices_are_sorted=indices_are_sorted
     )
 
 
@@ -62,13 +66,15 @@ def sparse_pool_coo_batch(
     cols: jnp.ndarray,  # [B, N] int32
     vals: jnp.ndarray,  # [B, N] f32
     num_targets: int,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     """Batch-native COO pooling -> [B, T, C].
 
     Flattens the batch into the row/col index spaces (rows + b*T,
     cols + b*S) so the whole batch is ONE gather + ONE segment-sum — the
     fast unbatched lowering — instead of vmap's slow batched scatter.
-    Per-sample row-sortedness is preserved by the monotone offsets.
+    ``indices_are_sorted`` refers to per-sample row order (the monotone
+    batch offsets preserve it); the device-built COO is NOT sorted.
     """
 
     b, s, c = src_feat.shape
@@ -81,6 +87,7 @@ def sparse_pool_coo_batch(
         (cols + col_off).reshape(-1),
         vals.reshape(-1),
         num_targets=b * num_targets,
+        indices_are_sorted=indices_are_sorted,
     )
     return flat.reshape(b, num_targets, c)
 

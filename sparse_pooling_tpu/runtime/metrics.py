@@ -174,6 +174,7 @@ def _pr_curve(frames: Sequence[FrameData], cls: str, diff, metric: str):
     """
 
     min_ov = MIN_OVERLAP[cls]
+    min_h = diff[0]
     all_scores, all_tp, all_ignored = [], [], []
     n_gt = 0
     for fr in frames:
@@ -188,6 +189,12 @@ def _pr_curve(frames: Sequence[FrameData], cls: str, diff, metric: str):
         matched = np.zeros(len(fr.gt), bool)
         for di in order:
             d = dets[di]
+            # devkit ignored_det semantics: a class-matched detection whose
+            # 2D bbox is below the difficulty's min height is IGNORED — it
+            # may still consume a GT but is never a TP and never an FP
+            # (otherwise valid far/hard detections count as FPs when scoring
+            # easier bands, deflating AP vs the native devkit).
+            d_small = (d.y2 - d.y1) < min_h
             best_ov, best_gi = 0.0, -1
             for gi, g in enumerate(fr.gt):
                 if gt_status[gi] == -1 or matched[gi]:
@@ -211,18 +218,18 @@ def _pr_curve(frames: Sequence[FrameData], cls: str, diff, metric: str):
                     best_ov, best_gi = ov, gi
             if best_gi >= 0 and best_ov >= min_ov:
                 matched[best_gi] = True
-                if gt_status[best_gi] == 1:
+                if gt_status[best_gi] == 1 and not d_small:
                     all_scores.append(d.score)
                     all_tp.append(True)
                     all_ignored.append(False)
-                else:  # matched an ignored GT: neither TP nor FP
+                else:  # matched an ignored GT, or the det itself is ignored
                     all_scores.append(d.score)
                     all_tp.append(False)
                     all_ignored.append(True)
             else:
                 all_scores.append(d.score)
                 all_tp.append(False)
-                all_ignored.append(False)
+                all_ignored.append(d_small)  # small unmatched det: not an FP
     return (
         np.array(all_scores),
         np.array(all_tp, bool),

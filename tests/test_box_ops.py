@@ -121,6 +121,20 @@ def test_box_4c_round_trip():
     assert dry.max() < 1e-5
 
 
+def test_box_4c_invariant_to_plane_scale():
+    """An unnormalized planes.txt entry must not scale decoded heights: the
+    encoders normalize the plane to a unit normal internally."""
+
+    plane = jnp.array(PLANE)
+    scaled = plane * 3.7
+    boxes = jnp.array([[1.0, 1.65, 20.0, 3.9, 1.6, 1.5, 0.3]])
+    b4c_unit = np.asarray(encoders.box_3d_to_box_4c(boxes, plane))
+    b4c_scaled = np.asarray(encoders.box_3d_to_box_4c(boxes, scaled))
+    np.testing.assert_allclose(b4c_scaled, b4c_unit, atol=1e-5)
+    back = np.asarray(encoders.box_4c_to_box_3d(jnp.array(b4c_scaled), scaled))
+    np.testing.assert_allclose(back[:, :6], np.asarray(boxes)[:, :6], atol=1e-5)
+
+
 # ---------------------------------------------------------------- projection
 
 def test_project_to_bev():

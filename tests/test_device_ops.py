@@ -137,8 +137,9 @@ def test_sparse_pool_ell_matches_coo_real_frame(kitti_root):
 
 
 def test_sparse_pool_coo_rows_sorted_invariant(kitti_root):
-    """sparse_pool_coo declares indices_are_sorted: the builder must emit
-    ascending rows including the padding tail."""
+    """The HOST builder may be pooled with indices_are_sorted=True, so it
+    must emit ascending rows including the padding tail. (The device builder
+    emits point-order rows and must use the default unsorted path.)"""
 
     cal, _, pts = _load_frame(kitti_root)
     m_bev, m_fv = SM.build_sparse_pooling_input(

@@ -119,6 +119,37 @@ def test_ap_van_gt_ignored_for_car():
     assert res["Car"]["3d"]["moderate"] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_ap_small_detection_not_fp_in_easy_band():
+    """devkit ignored_det semantics: a valid detection of a far/hard object
+    (bbox height < easy's 40 px) must NOT count as an FP when scoring the
+    easy band — it is ignored, so easy AP stays 1.0."""
+
+    gt_easy = _obj(y1=100, y2=160)  # 60 px tall -> counted in easy
+    gt_hard = _obj(x=6.0, z=60.0, x1=500, x2=530, y1=100, y2=130)  # 30 px
+    det_easy = ObjectLabel(**{**gt_easy.__dict__, "score": 0.9})
+    det_hard = ObjectLabel(**{**gt_hard.__dict__, "score": 0.95})
+    frames = [M.FrameData(gt=[gt_easy, gt_hard], det=[det_hard, det_easy])]
+    res = M.evaluate_frames(frames, ["Car"])
+    # easy: gt_hard is ignored GT, det_hard is ignored det -> AP 1.0
+    assert res["Car"]["3d"]["easy"] == pytest.approx(1.0, abs=1e-6)
+    # moderate counts both
+    assert res["Car"]["3d"]["moderate"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ap_small_unmatched_detection_not_fp():
+    """An unmatched small det is ignored (not FP) for bands it can't enter."""
+
+    gt_easy = _obj(y1=100, y2=160)
+    det_easy = ObjectLabel(**{**gt_easy.__dict__, "score": 0.9})
+    spurious_small = _obj(x=7.0, z=65.0, x1=600, x2=620, y1=100, y2=120,
+                          score=0.99)  # 20 px tall, matches nothing
+    frames = [M.FrameData(gt=[gt_easy], det=[spurious_small, det_easy])]
+    res = M.evaluate_frames(frames, ["Car"])
+    assert res["Car"]["3d"]["easy"] == pytest.approx(1.0, abs=1e-6)
+    # moderate band: 25 px min height still exceeds 20 px -> still ignored
+    assert res["Car"]["3d"]["moderate"] == pytest.approx(1.0, abs=1e-6)
+
+
 def test_ap_localization_threshold():
     """A det shifted beyond the 0.7 IoU bar is an FP for Car."""
 

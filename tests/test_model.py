@@ -158,6 +158,6 @@ def test_grads_flow_to_both_branches(setup):
     assert np.isfinite(sum(gsum.values()))
     assert head_g > 0
     assert bev_g > 0
-    # image branch gradient can be zero only if path-drop removed it; with
-    # train rng key 3 both branches are kept (checked by construction)
-    assert img_g >= 0
+    # with train rng key 3 both branches are kept, so the image branch must
+    # receive real gradient (a dropped branch would make this exactly 0)
+    assert img_g > 0
