@@ -38,7 +38,8 @@ from sparse_pooling_tpu.models.fusion import SparsePoolFusion
 from sparse_pooling_tpu.ops import encoders, projection
 from sparse_pooling_tpu.ops.crop_resize import (
     crop_and_resize_batch,
-    crop_and_resize_patch_einsum,
+    crop_and_resize_patch_einsum_px,
+    crop_and_resize_px_batch,
 )
 from sparse_pooling_tpu.ops.nms import nms_batch, top_k_nms_batch
 from sparse_pooling_tpu.ops.sparse_build import DeviceCoo
@@ -161,13 +162,28 @@ class SparsePoolingDetector(nn.Module):
         bev_boxes = projection.project_to_bev(anchors, ext)
         img_boxes = projection.project_to_image_space(anchors, inputs["p2"], img_hw)
 
+        # BEV boxes are normalized over the CONTENT extents (700 rows), but
+        # bev_feat carries pad_h zero rows (704): crop at content-pixel
+        # coordinates so far-range ROIs never sample into the padding.
+        grid_h, grid_w = c.bev.grid_hw(ext)
+        bev_px_scale = jnp.array(
+            [grid_h - 1.0, grid_w - 1.0, grid_h - 1.0, grid_w - 1.0], jnp.float32
+        )
+
         s = c.rpn.proposal_roi_size
         if c.rpn.bev_roi_stride > 1:
             st = c.rpn.bev_roi_stride
             bev_src = nn.avg_pool(bev_feat, (st, st), strides=(st, st))
-            bev_rois = crop_and_resize_patch_einsum(bev_src, bev_boxes, (s, s))
+            # avg_pool cell r covers content rows [r*st, (r+1)*st): its
+            # center sits at full-res pixel r*st + (st-1)/2
+            bev_px_pooled = (bev_boxes * bev_px_scale - (st - 1) / 2) / st
+            bev_rois = crop_and_resize_patch_einsum_px(
+                bev_src, bev_px_pooled, (s, s)
+            )
         else:
-            bev_rois = crop_and_resize_batch(bev_feat, bev_boxes, (s, s))
+            bev_rois = crop_and_resize_px_batch(
+                bev_feat, bev_boxes * bev_px_scale, (s, s)
+            )
         img_rois = crop_and_resize_batch(img_feat, img_boxes, (s, s))
         denom = jnp.maximum(bev_keep + img_keep, 1.0)[:, None, None, None, None]
         rois = (bev_rois.astype(jnp.float32) + img_rois.astype(jnp.float32)) / denom
@@ -194,7 +210,9 @@ class SparsePoolingDetector(nn.Module):
         prop_bev = projection.project_to_bev(proposals, ext)
         prop_img = projection.project_to_image_space(proposals, inputs["p2"], img_hw)
         s2 = c.avod.roi_size
-        bev_rois2 = crop_and_resize_batch(bev_feat, prop_bev, (s2, s2))
+        bev_rois2 = crop_and_resize_px_batch(
+            bev_feat, prop_bev * bev_px_scale, (s2, s2)
+        )
         img_rois2 = crop_and_resize_batch(img_feat, prop_img, (s2, s2))
         if c.avod.fusion_method == "concat":
             rois2 = jnp.concatenate(

@@ -36,7 +36,10 @@ from sparse_pooling_tpu.models.backbone import VggPyramidExtractor
 from sparse_pooling_tpu.models.detector import Stage2Head, _dtype
 from sparse_pooling_tpu.models.fusion import SparsePoolFusion
 from sparse_pooling_tpu.ops import encoders, projection
-from sparse_pooling_tpu.ops.crop_resize import crop_and_resize_batch
+from sparse_pooling_tpu.ops.crop_resize import (
+    crop_and_resize_batch,
+    crop_and_resize_px_batch,
+)
 from sparse_pooling_tpu.ops.nms import top_k_nms_batch
 
 
@@ -163,8 +166,16 @@ class FusionRcnn(nn.Module):
         s2 = c.avod.roi_size
         prop_bev = projection.project_to_bev(proposals, ext)
         prop_img = projection.project_to_image_space(proposals, inputs["p2"], img_hw)
+        # prop_bev is normalized over the CONTENT extents; crop the padded
+        # map at content-pixel coordinates (see models.detector)
+        grid_h, grid_w = c.bev.grid_hw(ext)
+        bev_px_scale = jnp.array(
+            [grid_h - 1.0, grid_w - 1.0, grid_h - 1.0, grid_w - 1.0], jnp.float32
+        )
         rois = (
-            crop_and_resize_batch(bev_feat, prop_bev, (s2, s2)).astype(jnp.float32)
+            crop_and_resize_px_batch(
+                bev_feat, prop_bev * bev_px_scale, (s2, s2)
+            ).astype(jnp.float32)
             + crop_and_resize_batch(img_feat, prop_img, (s2, s2)).astype(jnp.float32)
         ) / 2.0
         cls_logits, box_offsets, orientation = self.stage2_head(rois, train)

@@ -11,6 +11,13 @@ Semantics match tf.image.crop_and_resize exactly:
   * crop size 1 samples the box center
   * bilinear interpolation, out-of-range samples clamp (extrapolation_value
     handling is unnecessary: the detector always feeds in-range boxes)
+
+The ``*_px`` variants take boxes in PIXEL coordinates of the source map.
+They exist because the detector's BEV feature maps carry zero-padding rows
+(704 vs 700 content rows for stride divisibility): normalizing over the
+padded height would smear far-range ROIs into the padding, so the detector
+converts extent-normalized boxes to CONTENT-pixel boxes and crops the padded
+map at exact pixel positions. The normalized API is a thin scaling wrapper.
 """
 
 from __future__ import annotations
@@ -21,30 +28,34 @@ import jax
 import jax.numpy as jnp
 
 
-def _sample_grid(boxes, h, w, crop_hw):
-    """Per-box bilinear sample coordinates: ys [N, ch], xs [N, cw]."""
+def _sample_grid(boxes_px, h, w, crop_hw):
+    """Per-box bilinear sample coordinates from PIXEL boxes: ys [N, ch],
+    xs [N, cw]. Same grid as TF once normalized boxes are scaled by (dim-1)."""
 
     ch, cw = crop_hw
-    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    y1, x1, y2, x2 = boxes_px[:, 0], boxes_px[:, 1], boxes_px[:, 2], boxes_px[:, 3]
     if ch > 1:
-        ys = y1[:, None] * (h - 1) + jnp.arange(ch)[None, :] * (
-            (y2 - y1)[:, None] * (h - 1) / (ch - 1)
-        )
+        ys = y1[:, None] + jnp.arange(ch)[None, :] * ((y2 - y1)[:, None] / (ch - 1))
     else:
-        ys = (0.5 * (y1 + y2) * (h - 1))[:, None]
+        ys = (0.5 * (y1 + y2))[:, None]
     if cw > 1:
-        xs = x1[:, None] * (w - 1) + jnp.arange(cw)[None, :] * (
-            (x2 - x1)[:, None] * (w - 1) / (cw - 1)
-        )
+        xs = x1[:, None] + jnp.arange(cw)[None, :] * ((x2 - x1)[:, None] / (cw - 1))
     else:
-        xs = (0.5 * (x1 + x2) * (w - 1))[:, None]
+        xs = (0.5 * (x1 + x2))[:, None]
     return jnp.clip(ys, 0.0, h - 1.0), jnp.clip(xs, 0.0, w - 1.0)
 
 
-def _coords(boxes, h, w, crop_hw):
-    """boxes [B, N, 4] -> clipped sample coords ys [B, N, ch], xs [B, N, cw]."""
+def _coords(boxes_px, h, w, crop_hw):
+    """boxes [B, N, 4] px -> clipped sample coords ys [B, N, ch], xs [B, N, cw]."""
 
-    return jax.vmap(lambda bx: _sample_grid(bx, h, w, crop_hw))(boxes)
+    return jax.vmap(lambda bx: _sample_grid(bx, h, w, crop_hw))(boxes_px)
+
+
+def _norm_to_px(boxes, h, w):
+    """TF-normalized boxes -> pixel boxes over (h-1, w-1)."""
+
+    scale = jnp.array([h - 1.0, w - 1.0, h - 1.0, w - 1.0], boxes.dtype)
+    return boxes * scale
 
 
 def _crop_batch_impl(images: jnp.ndarray, boxes: jnp.ndarray, crop_hw) -> jnp.ndarray:
@@ -184,6 +195,18 @@ def _crop_with_vjp(crop_hw):
     return crop
 
 
+def crop_and_resize_px_batch(
+    images: jnp.ndarray, boxes_px: jnp.ndarray, crop_hw
+) -> jnp.ndarray:
+    """Pixel-box form: [B, H, W, C] + [B, N, 4] px -> [B, N, ch, cw, C].
+
+    Use for padded maps where normalized coords must anchor to the CONTENT
+    lattice, not the padded one (see module docstring).
+    """
+
+    return _crop_with_vjp((int(crop_hw[0]), int(crop_hw[1])))(images, boxes_px)
+
+
 def crop_and_resize_batch(
     images: jnp.ndarray, boxes: jnp.ndarray, crop_hw
 ) -> jnp.ndarray:
@@ -193,7 +216,8 @@ def crop_and_resize_batch(
     XLA's batched-gather lowering of the vmapped form is ~15x slower.
     """
 
-    return _crop_with_vjp((int(crop_hw[0]), int(crop_hw[1])))(images, boxes)
+    b, h, w, _ = images.shape
+    return crop_and_resize_px_batch(images, _norm_to_px(boxes, h, w), crop_hw)
 
 
 def crop_and_resize(image: jnp.ndarray, boxes: jnp.ndarray, crop_hw) -> jnp.ndarray:
@@ -205,6 +229,17 @@ def crop_and_resize(image: jnp.ndarray, boxes: jnp.ndarray, crop_hw) -> jnp.ndar
 def crop_and_resize_patch_einsum(
     images: jnp.ndarray, boxes: jnp.ndarray, crop_hw, patch: int = 8
 ) -> jnp.ndarray:
+    """Normalized-box wrapper over ``crop_and_resize_patch_einsum_px``."""
+
+    b, h, w, _ = images.shape
+    return crop_and_resize_patch_einsum_px(
+        images, _norm_to_px(boxes, h, w), crop_hw, patch
+    )
+
+
+def crop_and_resize_patch_einsum_px(
+    images: jnp.ndarray, boxes_px: jnp.ndarray, crop_hw, patch: int = 8
+) -> jnp.ndarray:
     """Patch-einsum crop: ONE gather descriptor per box, bilinear on the MXU.
 
     Gathers a single [patch, patch, C] window per box (descriptors / ch*cw
@@ -213,20 +248,28 @@ def crop_and_resize_patch_einsum(
     ~40 ns/descriptor regardless of slice size (measured, ROADMAP.md), so
     this trades descriptor latency for trivial MXU FLOPs.
 
-    EXACT equality with ``crop_and_resize_batch`` whenever every box spans
-    <= patch-1 source cells in each axis; larger boxes have their outer
-    samples clamped to the window edge (use on coarse lattices where box
+    EXACT equality with ``crop_and_resize_px_batch`` whenever every box spans
+    <= patch-2 source cells in each axis (window start = floor(mid -
+    (patch-2)/2) keeps every bilinear 2-cell footprint strictly inside the
+    window for such spans); larger boxes are CENTERED in the window and
+    their outer samples clamp to the window edge — a symmetric context
+    crop, not a one-sided corner crop (use on coarse lattices where box
     spans fit, e.g. RPN ROIs on a stride-pooled BEV map).
     """
 
     b, h, w, c = images.shape
     ch, cw = crop_hw
-    n = boxes.shape[1]
-    ys, xs = _coords(boxes, h, w, crop_hw)  # [B, N, ch], [B, N, cw]
+    n = boxes_px.shape[1]
+    ys, xs = _coords(boxes_px, h, w, crop_hw)  # [B, N, ch], [B, N, cw]
 
-    # window start at the first (smallest) sample coordinate
-    y_start = jnp.clip(jnp.floor(ys[..., 0]).astype(jnp.int32), 0, max(h - patch, 0))
-    x_start = jnp.clip(jnp.floor(xs[..., 0]).astype(jnp.int32), 0, max(w - patch, 0))
+    y_mid = 0.5 * (ys[..., 0] + ys[..., -1])
+    x_mid = 0.5 * (xs[..., 0] + xs[..., -1])
+    y_start = jnp.clip(
+        jnp.floor(y_mid - (patch - 2) / 2).astype(jnp.int32), 0, max(h - patch, 0)
+    )
+    x_start = jnp.clip(
+        jnp.floor(x_mid - (patch - 2) / 2).astype(jnp.int32), 0, max(w - patch, 0)
+    )
     bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, n))
     starts = jnp.stack([bidx, y_start, x_start], axis=-1).reshape(-1, 3)
     patches = jax.lax.gather(

@@ -226,6 +226,70 @@ def test_crop_resize_center_sample():
     np.testing.assert_allclose(got[0, 0, 0, 0], 9.0)
 
 
+def test_crop_px_padded_map_matches_unpadded(rng):
+    """Cropping a zero-padded map at CONTENT-pixel coords must equal cropping
+    the unpadded map with TF-normalized coords (the BEV alignment fix: the
+    detector's bev maps carry pad rows that normalized coords would smear
+    far-range ROIs into)."""
+
+    content = rng.rand(1, 20, 16, 3).astype(np.float32)
+    padded = np.concatenate([content, np.zeros((1, 4, 16, 3), np.float32)], axis=1)
+    boxes = np.array(
+        [[[0.0, 0.0, 1.0, 1.0], [0.7, 0.2, 1.0, 0.9], [0.95, 0.0, 1.0, 0.3]]],
+        np.float32,
+    )
+    want = np.asarray(
+        crop_resize.crop_and_resize_batch(jnp.array(content), jnp.array(boxes), (3, 3))
+    )
+    h, w = content.shape[1:3]
+    px = boxes * np.array([h - 1, w - 1, h - 1, w - 1], np.float32)
+    got = np.asarray(
+        crop_resize.crop_and_resize_px_batch(jnp.array(padded), jnp.array(px), (3, 3))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_patch_einsum_exact_when_span_fits(rng):
+    """Patch-einsum crops equal the gather path for spans <= patch-2 cells."""
+
+    img = rng.rand(2, 40, 48, 8).astype(np.float32)
+    b = np.zeros((2, 16, 4), np.float32)
+    r = np.random.RandomState(7)
+    y1 = r.rand(2, 16) * 30
+    x1 = r.rand(2, 16) * 38
+    b[..., 0], b[..., 1] = y1, x1
+    b[..., 2] = y1 + r.rand(2, 16) * 6.0  # span <= patch-2 = 6
+    b[..., 3] = x1 + r.rand(2, 16) * 6.0
+    want = np.asarray(
+        crop_resize.crop_and_resize_px_batch(jnp.array(img), jnp.array(b), (3, 3))
+    )
+    got = np.asarray(
+        crop_resize.crop_and_resize_patch_einsum_px(
+            jnp.array(img), jnp.array(b), (3, 3), patch=8
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_patch_einsum_oversized_box_centered():
+    """An oversized box samples a centered window: the center sample is
+    exact and the outer samples clamp symmetrically."""
+
+    img = jnp.arange(64, dtype=jnp.float32).reshape(1, 8, 8, 1)
+    # a box spanning the whole 8-px map with a 4-px patch
+    b = jnp.array([[[0.0, 3.0, 7.0, 3.0]]])
+    got = np.asarray(
+        crop_resize.crop_and_resize_patch_einsum_px(img, b, (3, 3), patch=4)
+    )[0, 0, :, :, 0]
+    want_center = np.asarray(
+        crop_resize.crop_and_resize_px_batch(img, b, (3, 3))
+    )[0, 0, 1, 1, 0]
+    np.testing.assert_allclose(got[1, 1], want_center, atol=1e-5)
+    # outer samples clamp within [start, start+patch-1] rows = rows 2..5
+    assert got.min() >= float(img[0, 2, 0, 0]) - 1e-5
+    assert got.max() <= float(img[0, 5, 7, 0]) + 1e-5
+
+
 # ---------------------------------------------------------------- losses
 
 def test_smooth_l1_golden():
