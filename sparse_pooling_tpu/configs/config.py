@@ -163,9 +163,16 @@ class RpnConfig:
     # >1: RPN BEV ROIs crop from an avg-pooled (stride) map via the
     # patch-einsum path — 1 gather descriptor per anchor instead of 9
     # (descriptor latency dominates TPU gathers; ROADMAP.md). 8 keeps
-    # car-sized boxes (<6m) inside the 8x8 window at 0.1 m voxels, so
-    # sampling stays exact bilinear on the pooled lattice.
-    bev_roi_stride: int = 1
+    # car-sized boxes (4.2 m diagonal = 5.3 pooled cells <= patch-2) inside
+    # the 8x8 window at 0.1 m voxels, so sampling stays exact bilinear on
+    # the pooled lattice. Set 1 for reference-exact full-res crops.
+    bev_roi_stride: int = 8
+    # Same lever for the image view: RPN image ROIs crop one centered 8x8
+    # patch from a stride-pooled image feature map. Unlike BEV, near
+    # objects can span more than the window (then the 3x3 samples clamp to
+    # a centered context crop) — distant/hard objects fit exactly.
+    img_roi_stride: int = 4
+    roi_patch: int = 8  # patch-einsum window size (both views)
     fusion_channels: int = 256  # conv head width after ROI fusion
     nms_iou_thresh: float = 0.8
     train_nms_size: int = 1024
@@ -247,6 +254,10 @@ class TrainConfig:
     max_checkpoints_to_keep: int = 10000  # keep-all so the evaluator can sweep
     optimizer: OptimizerConfig = OptimizerConfig()
     data_parallel: bool = True  # shard batch over the 'data' mesh axis
+    # >1: also split the stage-2 FC stack over a 'model' mesh axis (tensor
+    # parallelism; see parallel.mesh.param_sharding_rules). devices are laid
+    # out (data, model), so model-parallel groups ride adjacent ICI links.
+    model_parallel: int = 1
     prefetch_depth: int = 2  # double-buffered host->device pipeline
 
 

@@ -75,6 +75,9 @@ def people_pyramid_config() -> PipelineConfig:
                 avod_neg_iou=(0.0, 0.45),
                 avod_pos_iou=(0.55, 1.0),
             ),
+            # finer ROI pooling: pedestrians/cyclists are ~0.6-0.8 m wide,
+            # so the car default of 0.8 m avg-pool cells would wash them out
+            rpn=RpnConfig(bev_roi_stride=4, img_roi_stride=4),
         ),
     )
 
@@ -112,6 +115,10 @@ def unittest_config(dataset_root: str = "tests/fixtures/kitti") -> PipelineConfi
                 pre_nms_top_k=64,
                 train_nms_size=16,
                 eval_nms_size=16,
+                # reference-exact full-res crops; the strided patch-einsum
+                # path gets its own coverage in test_model
+                bev_roi_stride=1,
+                img_roi_stride=1,
             ),
             avod=AvodStage2Config(fc_layers=(32, 32), nms_size=8),
         ),

@@ -178,13 +178,25 @@ class SparsePoolingDetector(nn.Module):
             # center sits at full-res pixel r*st + (st-1)/2
             bev_px_pooled = (bev_boxes * bev_px_scale - (st - 1) / 2) / st
             bev_rois = crop_and_resize_patch_einsum_px(
-                bev_src, bev_px_pooled, (s, s)
+                bev_src, bev_px_pooled, (s, s), patch=c.rpn.roi_patch
             )
         else:
             bev_rois = crop_and_resize_px_batch(
                 bev_feat, bev_boxes * bev_px_scale, (s, s)
             )
-        img_rois = crop_and_resize_batch(img_feat, img_boxes, (s, s))
+        if c.rpn.img_roi_stride > 1:
+            sti = c.rpn.img_roi_stride
+            img_src = nn.avg_pool(img_feat, (sti, sti), strides=(sti, sti))
+            img_px_scale = jnp.array(
+                [img_hw[0] - 1.0, img_hw[1] - 1.0, img_hw[0] - 1.0,
+                 img_hw[1] - 1.0], jnp.float32,
+            )
+            img_px_pooled = (img_boxes * img_px_scale - (sti - 1) / 2) / sti
+            img_rois = crop_and_resize_patch_einsum_px(
+                img_src, img_px_pooled, (s, s), patch=c.rpn.roi_patch
+            )
+        else:
+            img_rois = crop_and_resize_batch(img_feat, img_boxes, (s, s))
         denom = jnp.maximum(bev_keep + img_keep, 1.0)[:, None, None, None, None]
         rois = (bev_rois.astype(jnp.float32) + img_rois.astype(jnp.float32)) / denom
 

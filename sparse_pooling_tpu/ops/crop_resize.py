@@ -114,14 +114,80 @@ def _crop_batch_impl(images: jnp.ndarray, boxes: jnp.ndarray, crop_hw) -> jnp.nd
     return top * (1 - dy) + bot * dy
 
 
+def _bilinear_bwd(images, boxes, g, coords_fn, crop_hw):
+    """Shared backward for all bilinear-sampling crops.
+
+    Any crop that bilinearly samples ``images`` at coordinates produced by
+    ``coords_fn(boxes) -> (ys, xs)`` has the same VJP: feature grads
+    scatter 4 weighted corners per sample (done as ONE segment_sum over
+    flattened pixel ids — the fast sort-based lowering), box grads chain
+    through the sample-coordinate math with a cheap vjp.
+    """
+
+    b, h, w, c = images.shape
+    ch, cw = crop_hw
+    n = boxes.shape[1]
+    g = g.astype(jnp.float32)  # [B, N, ch, cw, C]
+
+    (ys, xs), coords_vjp = jax.vjp(coords_fn, boxes)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, max(h - 2, 0))
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, max(w - 2, 0))
+    dy = (ys - y0)[:, :, :, None, None].astype(jnp.float32)
+    dx = (xs - x0)[:, :, None, :, None].astype(jnp.float32)
+
+    # corner weights
+    w00 = (1 - dy) * (1 - dx)
+    w01 = (1 - dy) * dx
+    w10 = dy * (1 - dx)
+    w11 = dy * dx
+
+    # ---- feature gradient: one segment_sum over flattened pixel ids
+    base = (jnp.arange(b) * (h * w))[:, None, None, None]
+    yg = jnp.broadcast_to(y0[:, :, :, None], (b, n, ch, cw))
+    xg = jnp.broadcast_to(x0[:, :, None, :], (b, n, ch, cw))
+    y1g = jnp.minimum(yg + 1, h - 1)
+    x1g = jnp.minimum(xg + 1, w - 1)
+    idx00 = (base + yg * w + xg).reshape(-1)
+    idx01 = (base + yg * w + x1g).reshape(-1)
+    idx10 = (base + y1g * w + xg).reshape(-1)
+    idx11 = (base + y1g * w + x1g).reshape(-1)
+    m = b * n * ch * cw
+    flat_ids = jnp.concatenate([idx00, idx01, idx10, idx11])
+    flat_grads = jnp.concatenate(
+        [
+            (g * w00).reshape(m, c),
+            (g * w01).reshape(m, c),
+            (g * w10).reshape(m, c),
+            (g * w11).reshape(m, c),
+        ]
+    )
+    g_images = jax.ops.segment_sum(
+        flat_grads, flat_ids, num_segments=b * h * w
+    ).reshape(b, h, w, c).astype(images.dtype)
+
+    # ---- box gradient: chain through dy/dx -> ys/xs -> boxes.
+    # Re-gather the corner values (cheap relative to the scatter this
+    # custom bwd avoids), then chain the bilinear blend analytically.
+    flat = images.reshape(b * h * w, c).astype(jnp.float32)
+    p00 = jnp.take(flat, idx00, axis=0).reshape(b, n, ch, cw, c)
+    p01 = jnp.take(flat, idx01, axis=0).reshape(b, n, ch, cw, c)
+    p10 = jnp.take(flat, idx10, axis=0).reshape(b, n, ch, cw, c)
+    p11 = jnp.take(flat, idx11, axis=0).reshape(b, n, ch, cw, c)
+    top = p00 * (1 - dx) + p01 * dx
+    bot = p10 * (1 - dx) + p11 * dx
+    g_dy = jnp.sum(g * (bot - top), axis=(3, 4))  # [B, N, ch]
+    g_dx = jnp.sum(
+        g * ((p01 - p00) * (1 - dy) + (p11 - p10) * dy), axis=(2, 4)
+    )  # [B, N, cw]
+    (g_boxes,) = coords_vjp((g_dy.astype(ys.dtype), g_dx.astype(xs.dtype)))
+    return g_images, g_boxes
+
+
 @functools.cache
 def _crop_with_vjp(crop_hw):
     """custom_vjp wrapper: XLA's default transpose of the patch gather is a
     general scatter-add that measured ~2.8 s/batch on TPU v5e (vs 47 ms
-    forward); the custom backward accumulates feature grads with ONE
-    segment_sum over flattened pixel indices (the fast sort-based lowering,
-    same as the SHPL pooling op) and pulls box grads through the coordinate
-    math with a cheap vjp."""
+    forward); the custom backward is ``_bilinear_bwd``."""
 
     @jax.custom_vjp
     def crop(images, boxes):
@@ -132,64 +198,9 @@ def _crop_with_vjp(crop_hw):
 
     def bwd(res, g):
         images, boxes = res
-        b, h, w, c = images.shape
-        ch, cw = crop_hw
-        n = boxes.shape[1]
-        g = g.astype(jnp.float32)  # [B, N, ch, cw, C]
-
+        _, h, w, _ = images.shape
         coords_fn = lambda bx: _coords(bx, h, w, crop_hw)
-        (ys, xs), coords_vjp = jax.vjp(coords_fn, boxes)
-        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, max(h - 2, 0))
-        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, max(w - 2, 0))
-        dy = (ys - y0)[:, :, :, None, None].astype(jnp.float32)
-        dx = (xs - x0)[:, :, None, :, None].astype(jnp.float32)
-
-        # corner weights
-        w00 = (1 - dy) * (1 - dx)
-        w01 = (1 - dy) * dx
-        w10 = dy * (1 - dx)
-        w11 = dy * dx
-
-        # ---- feature gradient: one segment_sum over flattened pixel ids
-        base = (jnp.arange(b) * (h * w))[:, None, None, None]
-        yg = jnp.broadcast_to(y0[:, :, :, None], (b, n, ch, cw))
-        xg = jnp.broadcast_to(x0[:, :, None, :], (b, n, ch, cw))
-        y1g = jnp.minimum(yg + 1, h - 1)
-        x1g = jnp.minimum(xg + 1, w - 1)
-        idx00 = (base + yg * w + xg).reshape(-1)
-        idx01 = (base + yg * w + x1g).reshape(-1)
-        idx10 = (base + y1g * w + xg).reshape(-1)
-        idx11 = (base + y1g * w + x1g).reshape(-1)
-        m = b * n * ch * cw
-        flat_ids = jnp.concatenate([idx00, idx01, idx10, idx11])
-        flat_grads = jnp.concatenate(
-            [
-                (g * w00).reshape(m, c),
-                (g * w01).reshape(m, c),
-                (g * w10).reshape(m, c),
-                (g * w11).reshape(m, c),
-            ]
-        )
-        g_images = jax.ops.segment_sum(
-            flat_grads, flat_ids, num_segments=b * h * w
-        ).reshape(b, h, w, c).astype(images.dtype)
-
-        # ---- box gradient: chain through dy/dx -> ys/xs -> boxes.
-        # Re-gather the corner values (cheap relative to the scatter this
-        # custom bwd avoids), then chain the bilinear blend analytically.
-        flat = images.reshape(b * h * w, c).astype(jnp.float32)
-        p00 = jnp.take(flat, idx00, axis=0).reshape(b, n, ch, cw, c)
-        p01 = jnp.take(flat, idx01, axis=0).reshape(b, n, ch, cw, c)
-        p10 = jnp.take(flat, idx10, axis=0).reshape(b, n, ch, cw, c)
-        p11 = jnp.take(flat, idx11, axis=0).reshape(b, n, ch, cw, c)
-        top = p00 * (1 - dx) + p01 * dx
-        bot = p10 * (1 - dx) + p11 * dx
-        g_dy = jnp.sum(g * (bot - top), axis=(3, 4))  # [B, N, ch]
-        g_dx = jnp.sum(
-            g * ((p01 - p00) * (1 - dy) + (p11 - p10) * dy), axis=(2, 4)
-        )  # [B, N, cw]
-        (g_boxes,) = coords_vjp((g_dy.astype(ys.dtype), g_dx.astype(xs.dtype)))
-        return g_images, g_boxes
+        return _bilinear_bwd(images, boxes, g, coords_fn, crop_hw)
 
     crop.defvjp(fwd, bwd)
     return crop
@@ -237,6 +248,97 @@ def crop_and_resize_patch_einsum(
     )
 
 
+def _patch_starts(boxes_px, h, w, crop_hw, patch):
+    """Window start rows/cols: centered on the sample span, clipped to fit."""
+
+    ys, xs = _coords(boxes_px, h, w, crop_hw)  # [B, N, ch], [B, N, cw]
+    y_mid = 0.5 * (ys[..., 0] + ys[..., -1])
+    x_mid = 0.5 * (xs[..., 0] + xs[..., -1])
+    y_start = jnp.clip(
+        jnp.floor(y_mid - (patch - 2) / 2).astype(jnp.int32), 0, max(h - patch, 0)
+    )
+    x_start = jnp.clip(
+        jnp.floor(x_mid - (patch - 2) / 2).astype(jnp.int32), 0, max(w - patch, 0)
+    )
+    return ys, xs, y_start, x_start
+
+
+def _patch_coords(boxes_px, h, w, crop_hw, patch):
+    """EFFECTIVE sample coordinates of the patch-einsum crop.
+
+    The patch evaluation equals plain bilinear sampling at these
+    window-clamped coordinates, which is what lets ``_bilinear_bwd`` serve
+    as its backward too.
+    """
+
+    ys, xs, y_start, x_start = _patch_starts(boxes_px, h, w, crop_hw, patch)
+    py, px = min(patch, h), min(patch, w)
+    ys_eff = y_start[..., None] + jnp.clip(ys - y_start[..., None], 0.0, py - 1.0)
+    xs_eff = x_start[..., None] + jnp.clip(xs - x_start[..., None], 0.0, px - 1.0)
+    return ys_eff, xs_eff
+
+
+def _patch_einsum_impl(images, boxes_px, crop_hw, patch):
+    b, h, w, c = images.shape
+    n = boxes_px.shape[1]
+    ys, xs, y_start, x_start = _patch_starts(boxes_px, h, w, crop_hw, patch)
+
+    bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, n))
+    starts = jnp.stack([bidx, y_start, x_start], axis=-1).reshape(-1, 3)
+    patches = jax.lax.gather(
+        images,
+        starts,
+        dimension_numbers=jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2),
+        ),
+        slice_sizes=(1, min(patch, h), min(patch, w), c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(b, n, min(patch, h), min(patch, w), c)
+
+    # clip to the ACTUAL window extent (min(patch, dim) - 1) so degenerate
+    # maps smaller than the patch still blend with unit total weight
+    rel_y = jnp.clip(ys - y_start[..., None], 0.0, min(patch, h) - 1.0)
+    rel_x = jnp.clip(xs - x_start[..., None], 0.0, min(patch, w) - 1.0)
+    grid = jnp.arange(min(patch, h), dtype=rel_y.dtype)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(rel_y[..., None] - grid))  # [B,N,ch,P]
+    grid_x = jnp.arange(min(patch, w), dtype=rel_x.dtype)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rel_x[..., None] - grid_x))
+    return jnp.einsum(
+        "bnip,bnjq,bnpqc->bnijc", wy.astype(images.dtype), wx.astype(images.dtype),
+        patches, preferred_element_type=images.dtype,
+    )
+
+
+@functools.cache
+def _patch_with_vjp(crop_hw, patch):
+    """custom_vjp for the patch-einsum crop: the default transpose of the
+    patch gather scatter-adds whole [patch, patch, C] windows (slow general
+    scatter, and dense in window cells the samples never touched); the
+    patch crop equals bilinear sampling at ``_patch_coords``, so
+    ``_bilinear_bwd`` is its exact, sparse backward."""
+
+    @jax.custom_vjp
+    def crop(images, boxes_px):
+        return _patch_einsum_impl(images, boxes_px, crop_hw, patch)
+
+    def fwd(images, boxes_px):
+        return _patch_einsum_impl(images, boxes_px, crop_hw, patch), (
+            images,
+            boxes_px,
+        )
+
+    def bwd(res, g):
+        images, boxes_px = res
+        _, h, w, _ = images.shape
+        coords_fn = lambda bx: _patch_coords(bx, h, w, crop_hw, patch)
+        return _bilinear_bwd(images, boxes_px, g, coords_fn, crop_hw)
+
+    crop.defvjp(fwd, bwd)
+    return crop
+
+
 def crop_and_resize_patch_einsum_px(
     images: jnp.ndarray, boxes_px: jnp.ndarray, crop_hw, patch: int = 8
 ) -> jnp.ndarray:
@@ -257,42 +359,8 @@ def crop_and_resize_patch_einsum_px(
     spans fit, e.g. RPN ROIs on a stride-pooled BEV map).
     """
 
-    b, h, w, c = images.shape
-    ch, cw = crop_hw
-    n = boxes_px.shape[1]
-    ys, xs = _coords(boxes_px, h, w, crop_hw)  # [B, N, ch], [B, N, cw]
-
-    y_mid = 0.5 * (ys[..., 0] + ys[..., -1])
-    x_mid = 0.5 * (xs[..., 0] + xs[..., -1])
-    y_start = jnp.clip(
-        jnp.floor(y_mid - (patch - 2) / 2).astype(jnp.int32), 0, max(h - patch, 0)
-    )
-    x_start = jnp.clip(
-        jnp.floor(x_mid - (patch - 2) / 2).astype(jnp.int32), 0, max(w - patch, 0)
-    )
-    bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, n))
-    starts = jnp.stack([bidx, y_start, x_start], axis=-1).reshape(-1, 3)
-    patches = jax.lax.gather(
-        images,
-        starts,
-        dimension_numbers=jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3),
-            collapsed_slice_dims=(0,),
-            start_index_map=(0, 1, 2),
-        ),
-        slice_sizes=(1, min(patch, h), min(patch, w), c),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    ).reshape(b, n, min(patch, h), min(patch, w), c)
-
-    rel_y = jnp.clip(ys - y_start[..., None], 0.0, patch - 1.0)  # [B, N, ch]
-    rel_x = jnp.clip(xs - x_start[..., None], 0.0, patch - 1.0)
-    grid = jnp.arange(min(patch, h), dtype=rel_y.dtype)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(rel_y[..., None] - grid))  # [B,N,ch,P]
-    grid_x = jnp.arange(min(patch, w), dtype=rel_x.dtype)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rel_x[..., None] - grid_x))
-    return jnp.einsum(
-        "bnip,bnjq,bnpqc->bnijc", wy.astype(images.dtype), wx.astype(images.dtype),
-        patches, preferred_element_type=images.dtype,
+    return _patch_with_vjp((int(crop_hw[0]), int(crop_hw[1])), int(patch))(
+        images, boxes_px
     )
 
 

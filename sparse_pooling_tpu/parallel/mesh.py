@@ -38,6 +38,25 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def auto_mesh(
+    batch_size: int,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Optional[Mesh]:
+    """Production mesh choice for the Trainer: the largest data-axis size
+    that divides the global batch (so every shard gets equal work), times
+    the configured model axis. Returns None when only one device would be
+    used — the caller then runs the plain single-device path.
+    """
+
+    devices = list(devices if devices is not None else jax.devices())
+    avail = max(len(devices) // max(n_model, 1), 1)
+    n_data = max(d for d in range(1, avail + 1) if batch_size % d == 0)
+    if n_data * n_model <= 1:
+        return None
+    return make_mesh(n_data, n_model, devices)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis of every input over the data axis."""
 
@@ -73,3 +92,22 @@ def shard_params(params, mesh: Mesh):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_opt_state(opt_state, mesh: Mesh):
+    """Put every opt-state leaf on the mesh.
+
+    ``tx.init(sharded_params)`` gives the moments the params' shardings via
+    ``zeros_like``, but step counters are fresh scalars on the default
+    device; once orbax restore COMMITS them there, jit refuses to mix them
+    with mesh-placed params. Leaves already on this mesh are left alone,
+    everything else is replicated.
+    """
+
+    def place(leaf):
+        s = getattr(leaf, "sharding", None)
+        if isinstance(s, NamedSharding) and s.mesh == mesh:
+            return leaf
+        return jax.device_put(leaf, replicated(mesh))
+
+    return jax.tree.map(place, opt_state)

@@ -116,6 +116,18 @@ class Trainer:
         self.tx = build_optimizer(cfg)
         self.summary = SummaryWriter(os.path.join(self.workdir, "summaries"))
 
+        # Production mesh (SURVEY.md §3.9): data-parallel batch sharding over
+        # every visible device, optional tensor parallelism for the stage-2
+        # FCs. None -> plain single-device execution.
+        self.mesh = (
+            mesh_mod.auto_mesh(cfg.train.batch_size, cfg.train.model_parallel)
+            if cfg.train.data_parallel
+            else None
+        )
+        if self.mesh is not None:
+            shape = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+            print(f"[trainer] mesh {shape} over {self.mesh.devices.size} devices")
+
     # ------------------------------------------------------------ state
     def init_state(self, seed: int = 0) -> TrainState:
         rng = jax.random.PRNGKey(seed)
@@ -128,7 +140,13 @@ class Trainer:
         params = self.model.init(
             {"params": rng, "dropout": rng}, inputs, train=False
         )
+        if self.mesh is not None:
+            # place params BEFORE tx.init so optimizer moments inherit the
+            # same (replicated / TP-split) shardings via zeros_like
+            params = mesh_mod.shard_params(params, self.mesh)
         opt_state = self.tx.init(params)
+        if self.mesh is not None:
+            opt_state = mesh_mod.shard_opt_state(opt_state, self.mesh)
         return TrainState(params, opt_state, 0, rng)
 
     def _first_batch(self) -> pl.RawSample:
@@ -139,6 +157,8 @@ class Trainer:
         state = self.init_state()
         latest = ckpt_mod.latest_step(self.ckpt_dir)
         if latest is not None:
+            # the template carries the mesh shardings from init_state, so
+            # orbax restores straight onto the sharded layout
             restored = ckpt_mod.restore(
                 self.ckpt_dir, latest,
                 {"params": state.params, "opt_state": state.opt_state},
@@ -164,12 +184,16 @@ class Trainer:
         t_last = time.time()
         epoch = step * bsz // max(len(self.dataset), 1)
 
+        batch_sharding = (
+            mesh_mod.batch_sharding(self.mesh) if self.mesh is not None else None
+        )
         while step < max_steps:
             host_iter = self.dataset.batches(bsz, epoch, augment=True)
             prefetch = DevicePrefetcher(
                 host_iter,
                 depth=cfg.train.prefetch_depth,
                 transform=lambda item: (pl.RawSample(*item[0]), item[1]),
+                sharding=batch_sharding,
             )
             for batch, _ids in prefetch:
                 rng, step_rng = jax.random.split(rng)

@@ -271,6 +271,28 @@ def test_patch_einsum_exact_when_span_fits(rng):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_patch_einsum_grads_match_gather_crop(rng):
+    """The patch crop's custom VJP must produce the same image and box
+    gradients as the gather crop's (they are the same function for fitting
+    spans, computed through different code paths)."""
+
+    img = rng.rand(1, 24, 24, 4).astype(np.float32)
+    b = np.array([[[3.2, 4.1, 8.9, 9.7], [10.0, 2.0, 15.5, 7.25]]], np.float32)
+
+    def loss_patch(i, bx):
+        out = crop_resize.crop_and_resize_patch_einsum_px(i, bx, (3, 3), patch=8)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    def loss_gather(i, bx):
+        out = crop_resize.crop_and_resize_px_batch(i, bx, (3, 3))
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    gi_p, gb_p = jax.grad(loss_patch, argnums=(0, 1))(jnp.array(img), jnp.array(b))
+    gi_g, gb_g = jax.grad(loss_gather, argnums=(0, 1))(jnp.array(img), jnp.array(b))
+    np.testing.assert_allclose(np.asarray(gi_p), np.asarray(gi_g), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_g), atol=1e-4)
+
+
 def test_patch_einsum_oversized_box_centered():
     """An oversized box samples a centered window: the center sample is
     exact and the outer samples clamp symmetrically."""

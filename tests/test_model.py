@@ -124,6 +124,64 @@ def test_rpn_positives_exist_for_aligned_gt(setup):
     assert float(losses["num_rpn_pos"]) >= 1
 
 
+def test_strided_roi_paths_forward_and_close_to_exact(setup):
+    """The production patch-einsum ROI config (bev/img_roi_stride > 1) must
+    run end-to-end and produce proposals close to the full-res crop path:
+    the heads consume pooled-lattice crops, so outputs differ slightly, but
+    the top proposals should overlap heavily on an easy scene."""
+
+    import dataclasses
+
+    cfg, ext, model, anchors_static, raw, params = setup
+    cfg_strided = dataclasses.replace(
+        cfg, rpn=dataclasses.replace(cfg.rpn, bev_roi_stride=2, img_roi_stride=2)
+    )
+    model2 = pl.make_model(cfg_strided, ext)
+    out_exact = pl.forward_single(
+        model, params, raw, anchors_static, cfg, ext, train=False
+    )
+    out_strided = pl.forward_single(
+        model2, params, raw, anchors_static, cfg_strided, ext, train=False
+    )
+    assert out_strided["proposals"].shape == out_exact["proposals"].shape
+    assert bool(jnp.all(jnp.isfinite(out_strided["proposals"])))
+    # objectness scores over VALID anchors correlate strongly between paths
+    valid = np.asarray(out_exact["anchor_valid"])
+    a = np.asarray(out_exact["objectness"])[valid][:, 1]
+    b = np.asarray(out_strided["objectness"])[valid][:, 1]
+    if a.std() > 1e-6 and b.std() > 1e-6:
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.8, corr
+
+
+def test_strided_roi_grads_finite(setup):
+    """Training-path gradients must flow through the patch-einsum custom
+    VJP (both views strided)."""
+
+    import dataclasses
+
+    cfg, ext, model, anchors_static, raw, params = setup
+    cfg_strided = dataclasses.replace(
+        cfg, rpn=dataclasses.replace(cfg.rpn, bev_roi_stride=2, img_roi_stride=2)
+    )
+    model2 = pl.make_model(cfg_strided, ext)
+    key = jax.random.PRNGKey(3)
+
+    def loss_fn(p):
+        out = pl.forward_single(
+            model2, p, raw, anchors_static, cfg_strided, ext, train=True, rng=key
+        )
+        return loss_mod.detector_loss(
+            out, raw.gt_boxes_3d, raw.gt_valid, raw.gt_classes,
+            raw.ground_plane, key, cfg_strided, ext,
+        )["total"]
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    total = sum(float(jnp.abs(g).sum()) for g in leaves)
+    assert np.isfinite(total) and total > 0
+
+
 def test_path_drop_zeroes_branch(setup):
     """With the image branch dropped, outputs must not depend on the image."""
 

@@ -1,0 +1,121 @@
+"""Production multi-device training path (SURVEY.md §3.9).
+
+Runs the REAL ``runtime.trainer.Trainer`` on the 8-virtual-CPU-device mesh
+(conftest sets ``xla_force_host_platform_device_count=8``): data-parallel
+batch sharding through the DevicePrefetcher, tensor-parallel stage-2 FCs,
+checkpoint resume onto the sharded layout. Wall-clock scaling cannot be
+asserted on virtual devices (they share the same cores); what IS asserted
+is the mechanics that make scaling real on hardware: the batch is actually
+split across the data axis, the TP kernels are actually split across the
+model axis, and the step/resume path runs under those shardings.
+"""
+
+import dataclasses
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from sparse_pooling_tpu.configs import unittest_config
+from sparse_pooling_tpu.parallel import mesh as mesh_mod
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    from sparse_pooling_tpu.data import synthetic
+
+    root = tmp_path_factory.mktemp("kitti_par")
+    synthetic.write_kitti_tree(
+        str(root), num_frames=5, n_ground=1024, n_obj=64, val_frames=(4,)
+    )
+    c = unittest_config(dataset_root=str(root))
+    exp = tmp_path_factory.mktemp("experiments_par")
+    return dataclasses.replace(
+        c,
+        experiments_dir=str(exp),
+        train=dataclasses.replace(
+            c.train, batch_size=4, model_parallel=2, summary_interval=1,
+            checkpoint_interval=1,
+        ),
+    )
+
+
+def test_auto_mesh_divisibility():
+    devs = jax.devices()
+    assert len(devs) == 8
+    m = mesh_mod.auto_mesh(4, 1)
+    assert dict(zip(m.axis_names, m.devices.shape)) == {"data": 4, "model": 1}
+    m = mesh_mod.auto_mesh(6, 1)  # 6 divides by 6 <= 8
+    assert m.devices.shape[0] == 6
+    m = mesh_mod.auto_mesh(5, 1)  # 5 | 5
+    assert m.devices.shape[0] == 5
+    m = mesh_mod.auto_mesh(4, 2)
+    assert dict(zip(m.axis_names, m.devices.shape)) == {"data": 4, "model": 2}
+    assert mesh_mod.auto_mesh(1, 1) is None  # single device -> no mesh
+
+
+def test_trainer_mesh_production_path(cfg):
+    from sparse_pooling_tpu.runtime.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    assert trainer.mesh is not None
+    assert dict(zip(trainer.mesh.axis_names, trainer.mesh.devices.shape)) == {
+        "data": 4,
+        "model": 2,
+    }
+
+    state = trainer.train(max_steps=1)
+    assert state.step == 1
+
+    # TP: stage-2 FC kernel split over 'model'
+    fc = state.params["params"]["stage2_head"]["fc1"]["kernel"]
+    spec = fc.sharding.spec
+    assert "model" in str(spec), spec
+    # each model-shard holds half the output features
+    shard_shapes = {s.data.shape for s in fc.addressable_shards}
+    assert all(sh[1] == fc.shape[1] // 2 for sh in shard_shapes), shard_shapes
+
+    # backbone params replicated (same full shape on every device)
+    conv = state.params["params"]["bev_extractor"]["encoder"]["conv1_1"]["kernel"]
+    assert all(s.data.shape == conv.shape for s in conv.addressable_shards)
+
+    # loss finite and recorded
+    with open(os.path.join(trainer.workdir, "summaries", "scalars.jsonl")) as f:
+        rec = json.loads(f.readlines()[-1])
+    assert np.isfinite(rec["total"])
+
+
+def test_trainer_mesh_batch_actually_split(cfg):
+    """The sharded DevicePrefetcher must place batch/n_data rows per device."""
+
+    from sparse_pooling_tpu.data.dataset import KittiDataset
+    from sparse_pooling_tpu.data.prefetch import DevicePrefetcher
+    from sparse_pooling_tpu.models import pipeline as pl
+
+    ds = KittiDataset(cfg.dataset, cfg.model)
+    mesh = mesh_mod.auto_mesh(4, 2)
+    pf = DevicePrefetcher(
+        ds.batches(4, 0, augment=False),
+        transform=lambda item: (pl.RawSample(*item[0]), item[1]),
+        sharding=mesh_mod.batch_sharding(mesh),
+    )
+    batch, ids = next(iter(pf))
+    assert len(ids) == 4
+    pts = batch.points
+    assert pts.shape[0] == 4
+    # data axis 4 x model axis 2: each shard carries ONE sample
+    assert {s.data.shape[0] for s in pts.addressable_shards} == {1}
+
+
+def test_trainer_mesh_resume(cfg):
+    """Resume restores straight onto the sharded layout and keeps training."""
+
+    from sparse_pooling_tpu.runtime.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    state = trainer.train(max_steps=2)
+    assert state.step == 2
+    fc = state.params["params"]["stage2_head"]["fc1"]["kernel"]
+    assert "model" in str(fc.sharding.spec)

@@ -1,0 +1,228 @@
+"""Per-stage device-cost table for the flagship detector (TPU).
+
+Measures each pipeline stage standalone with the fori_loop methodology
+(ROADMAP.md "measurement discipline"): N iterations inside ONE jitted loop,
+every stage output leaf feeds the readback scalar (XLA DCE's unconsumed
+outputs), big arrays passed as jit args (remote-compiler payload limit).
+
+Usage:  python tools/profile_stages.py [--batch 8] [--stages a,b,c]
+Prints one line per stage: name, ms/batch, ms/frame.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def timed(body, args, n=10):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def repeat(dep0, *a):
+        def loop(_, dep):
+            first = jax.tree.leaves(a)[0]
+            out = body(*jax.tree.map(
+                lambda x: x + (dep * 0).astype(x.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, a,
+            ))
+            s = sum(
+                jnp.sum(l[..., :1].astype(jnp.float32))
+                for l in jax.tree.leaves(out)
+                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+            )
+            del first
+            return dep * 0.0 + s * 1e-20
+
+        return jax.lax.fori_loop(0, n, loop, dep0)
+
+    import jax.numpy as jnp
+
+    float(repeat(jnp.float32(0), *args))
+    t0 = time.perf_counter()
+    float(repeat(jnp.float32(0), *args))
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--stages", default="")
+    ap.add_argument("--train", action="store_true", help="profile train-size shapes")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _synthetic_raw
+    from sparse_pooling_tpu.configs import AreaExtents, cars_pyramid_config
+    from sparse_pooling_tpu.models import pipeline as pl
+    from sparse_pooling_tpu.models.backbone import VggPyramidExtractor
+    from sparse_pooling_tpu.models.detector import RpnHead, Stage2Head, decode_detections
+    from sparse_pooling_tpu.models.fusion import SparsePoolFusion
+    from sparse_pooling_tpu.ops import crop_resize as cr
+    from sparse_pooling_tpu.ops.nms import nms_batch, top_k_nms_batch
+    from sparse_pooling_tpu.ops.sparse_build import DeviceCoo
+
+    b = args.batch
+    cfg = cars_pyramid_config().model
+    ext = AreaExtents()
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+
+    hb, wb = cfg.bev.padded_hw(ext)
+    hi, wi = cfg.image.height, cfg.image.width
+    fs = cfg.sparse_pool.fusion_stride
+    mid_ch = cfg.backbone.channels[-1]
+    out_ch = cfg.backbone.out_channels
+    cap = cfg.sparse_pool.coo_cap
+    a_cap = cfg.anchors.max_anchors
+    nms_size = cfg.rpn.train_nms_size if args.train else cfg.rpn.eval_nms_size
+    dt = jnp.bfloat16 if cfg.backbone.compute_dtype == "bfloat16" else jnp.float32
+
+    frames = [_synthetic_raw(cfg, ext, n_points=16384, seed=i) for i in range(b)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+
+    bev_in = jnp.array(rng.rand(b, hb, wb, 6), jnp.float32)
+    img_in = jnp.array(rng.rand(b, hi, wi, 3), jnp.float32)
+    bev_mid = jnp.array(rng.rand(b, hb // fs, wb // fs, mid_ch), dt)
+    img_mid = jnp.array(rng.rand(b, hi // fs, wi // fs, mid_ch), dt)
+    bev_feat = jnp.array(rng.rand(b, hb, wb, out_ch), dt)
+    img_feat = jnp.array(rng.rand(b, hi, wi, out_ch), dt)
+
+    def rand_boxes(n, hmax, wmax, span):
+        y1 = rng.rand(b, n) * (hmax - span)
+        x1 = rng.rand(b, n) * (wmax - span)
+        s = rng.rand(b, n) * span
+        return jnp.array(np.stack([y1, x1, y1 + s, x1 + s], -1), jnp.float32)
+
+    bev_extractor = VggPyramidExtractor(
+        cfg.backbone.channels, cfg.backbone.blocks, out_ch, dt
+    )
+    img_extractor = VggPyramidExtractor(
+        cfg.backbone.channels, cfg.backbone.blocks, out_ch, dt
+    )
+    p_bev = bev_extractor.init(key, bev_in[:1])
+    p_img = img_extractor.init(key, img_in[:1])
+
+    fusion = SparsePoolFusion(mid_ch, dt)
+    rows = jnp.array(rng.randint(0, (hb // fs) * (wb // fs), (b, cap)), jnp.int32)
+    cols = jnp.array(rng.randint(0, (hi // fs) * (wi // fs), (b, cap)), jnp.int32)
+    vals = jnp.array(rng.rand(b, cap), jnp.float32)
+    coo = DeviceCoo(rows, cols, vals, (hb // fs, wb // fs), (hi // fs, wi // fs))
+    p_fus = fusion.init(key, bev_mid, img_mid, coo)
+
+    rpn_head = RpnHead(cfg.rpn.fusion_channels, dt)
+    s = cfg.rpn.proposal_roi_size
+    rois_rpn = jnp.array(rng.rand(b, a_cap, s, s, out_ch), jnp.float32)
+    p_rpn = rpn_head.init(key, rois_rpn[:, :8])
+
+    s2 = cfg.avod.roi_size
+    stage2 = Stage2Head(cfg.avod.fc_layers, cfg.num_classes, 0.5, dt)
+    rois_s2 = jnp.array(rng.rand(b, nms_size, s2, s2, out_ch), jnp.float32)
+    p_s2 = stage2.init(key, rois_s2[:, :8], False)
+
+    stages = {}
+
+    stages["inputs"] = (
+        lambda bt: pl.build_model_inputs_batch(
+            bt, jnp.array(pl.static_anchor_grid(cfg, ext)),
+            jnp.ones((b, 2), jnp.float32), cfg, ext,
+        ),
+        (batch,),
+    )
+    stages["bev_encode"] = (lambda p, x: bev_extractor.apply(p, x, method="encode"), (p_bev, bev_in))
+    stages["img_encode"] = (lambda p, x: img_extractor.apply(p, x, method="encode"), (p_img, img_in))
+    stages["shpl_fusion_x2"] = (
+        lambda p, a_, c_: (
+            fusion.apply(p, a_, c_, coo),
+            fusion.apply(p, c_, a_, DeviceCoo(cols, rows, vals, coo.source_hw, coo.target_hw)),
+        ),
+        (p_fus, bev_mid, img_mid),
+    )
+
+    def decode_bev(p, mid):
+        skips = [
+            jnp.zeros((b, hb // (2 ** i), wb // (2 ** i), c), dt)
+            for i, c in enumerate(cfg.backbone.channels[:-1])
+        ]
+        return bev_extractor.apply(p, mid, skips, method="decode")
+
+    def decode_img(p, mid):
+        skips = [
+            jnp.zeros((b, hi // (2 ** i), wi // (2 ** i), c), dt)
+            for i, c in enumerate(cfg.backbone.channels[:-1])
+        ]
+        return img_extractor.apply(p, mid, skips, method="decode")
+
+    stages["bev_decode"] = (decode_bev, (p_bev, bev_mid))
+    stages["img_decode"] = (decode_img, (p_img, img_mid))
+
+    st = cfg.rpn.bev_roi_stride
+    bev_boxes_px = rand_boxes(a_cap, (hb - 4) // max(st, 1), wb // max(st, 1), 6)
+
+    def roi_bev(feat, boxes):
+        if st > 1:
+            import flax.linen as nn
+
+            src = nn.avg_pool(feat, (st, st), strides=(st, st))
+            return cr.crop_and_resize_patch_einsum_px(src, boxes, (s, s), cfg.rpn.roi_patch)
+        return cr.crop_and_resize_px_batch(feat, boxes, (s, s))
+
+    stages["roi_rpn_bev"] = (roi_bev, (bev_feat, bev_boxes_px))
+
+    sti = cfg.rpn.img_roi_stride
+    img_boxes_px = rand_boxes(a_cap, hi // max(sti, 1), wi // max(sti, 1), 6)
+
+    def roi_img(feat, boxes):
+        if sti > 1:
+            import flax.linen as nn
+
+            src = nn.avg_pool(feat, (sti, sti), strides=(sti, sti))
+            return cr.crop_and_resize_patch_einsum_px(src, boxes, (s, s), cfg.rpn.roi_patch)
+        return cr.crop_and_resize_px_batch(feat, boxes, (s, s))
+
+    stages["roi_rpn_img"] = (roi_img, (img_feat, img_boxes_px))
+    stages["rpn_head"] = (lambda p, r: rpn_head.apply(p, r), (p_rpn, rois_rpn))
+
+    nms_boxes = rand_boxes(a_cap, 1.0, 1.0, 0.05)
+    nms_scores = jnp.array(rng.rand(b, a_cap), jnp.float32)
+    stages["rpn_nms"] = (
+        lambda bx, sc: top_k_nms_batch(
+            bx, sc, nms_size, cfg.rpn.nms_iou_thresh, cfg.rpn.pre_nms_top_k
+        ),
+        (nms_boxes, nms_scores),
+    )
+
+    s2_bev_px = rand_boxes(nms_size, hb - 4, wb, 60)
+    s2_img_px = rand_boxes(nms_size, hi, wi, 200)
+    stages["roi_s2_bev"] = (
+        lambda f, bx: cr.crop_and_resize_px_batch(f, bx, (s2, s2)), (bev_feat, s2_bev_px)
+    )
+    stages["roi_s2_img"] = (
+        lambda f, bx: cr.crop_and_resize_px_batch(f, bx, (s2, s2)), (img_feat, s2_img_px)
+    )
+    stages["stage2_head"] = (lambda p, r: stage2.apply(p, r, False), (p_s2, rois_s2))
+
+    fin_boxes = rand_boxes(nms_size, 1.0, 1.0, 0.05)
+    fin_scores = jnp.array(rng.rand(b, nms_size), jnp.float32)
+    stages["final_nms"] = (
+        lambda bx, sc: nms_batch(bx, sc, cfg.avod.nms_size, cfg.avod.nms_iou_thresh),
+        (fin_boxes, fin_scores),
+    )
+
+    want = [w for w in args.stages.split(",") if w] or list(stages)
+    total = 0.0
+    for name in want:
+        body, sargs = stages[name]
+        dt_s = timed(body, sargs, args.iters)
+        total += dt_s
+        print(f"{name:18s} {dt_s * 1e3:8.2f} ms/batch  {dt_s * 1e3 / b:6.2f} ms/frame")
+    print(f"{'TOTAL':18s} {total * 1e3:8.2f} ms/batch  {total * 1e3 / b:6.2f} ms/frame")
+
+
+if __name__ == "__main__":
+    main()
