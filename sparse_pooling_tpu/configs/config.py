@@ -107,6 +107,11 @@ class SparsePoolConfig:
     max_points: int = 32768  # host pads/filters point cloud to this cap
     normalize: bool = True  # row-normalize pooled features by total weight
     bev_to_img: bool = True  # also pool BEV features into the image branch
+    # >0: learned 1x1 bottleneck on the source features before pooling —
+    # pooling cost is linear in channels, and 256->64 keeps cross-view
+    # information at 1/4 the HBM traffic. 0 pools the full source width
+    # (the reference pools all mid channels).
+    pool_channels: int = 64
 
     @property
     def coo_cap(self) -> int:
@@ -173,6 +178,12 @@ class RpnConfig:
     # a centered context crop) — distant/hard objects fit exactly.
     img_roi_stride: int = 4
     roi_patch: int = 8  # patch-einsum window size (both views)
+    # >0: learned 1x1 projection on the POOLED map before the patch crop.
+    # The patch gather is HBM-bound in the gathered bytes (~24 ms/batch at
+    # 32 channels, tools/profile_micro.py), so 32->8 cuts the RPN ROI cost
+    # ~4x; the RPN head keeps 3x3xroi_channels features per anchor.
+    # Applies only to the strided patch path; 0 disables.
+    roi_channels: int = 8
     fusion_channels: int = 256  # conv head width after ROI fusion
     nms_iou_thresh: float = 0.8
     train_nms_size: int = 1024
@@ -189,7 +200,14 @@ class AvodStage2Config:
     roi_size: int = 7  # crop_and_resize 7x7
     fc_layers: Tuple[int, ...] = (2048, 2048, 2048)
     keep_dropout_prob: float = 0.5
-    fusion_method: str = "mean"  # 'mean' | 'concat'
+    fusion_method: str = "mean"  # 'mean' | 'concat' (the combiner)
+    # WHERE the two views fuse in the stage-2 FC stack (reference
+    # avod_model fusion type axis):
+    #   'early' — combine ROI features once, one shared FC stack;
+    #   'late'  — a full FC stack per view, outputs combined at the end;
+    #   'deep'  — per-layer branch FCs whose outputs re-combine after
+    #             every layer (AVOD's deep fusion).
+    fusion_type: str = "early"
     nms_iou_thresh: float = 0.01
     nms_size: int = 100
     loss_cls_weight: float = 1.0
@@ -264,7 +282,9 @@ class TrainConfig:
 @_freeze
 class EvalConfig:
     score_threshold: float = 0.1
-    batch_size: int = 1
+    # val sweeps run batched (bench-shape graph) with a prefetched host
+    # pipeline; the tail batch is padded. 8 matches bench.py.
+    batch_size: int = 8
     eval_interval: int = 1000  # evaluate every new checkpoint >= this spacing
     kitti_score_threshold: float = 0.1
 

@@ -126,7 +126,7 @@ def unittest_config(dataset_root: str = "tests/fixtures/kitti") -> PipelineConfi
             batch_size=1, max_iterations=2, checkpoint_interval=1,
             summary_interval=1,
         ),
-        eval=EvalConfig(),
+        eval=EvalConfig(batch_size=2),
         dataset=DatasetConfig(root=dataset_root, aug_flip=False, aug_pca_jitter=False, shuffle=False),
     )
 

@@ -21,6 +21,11 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=2500)
     p.add_argument("--workdir", default=None)
     p.add_argument("--device", default="cpu", help="cpu (default) or tpu")
+    p.add_argument(
+        "--roi", default="exact", choices=["exact", "fast"],
+        help="'exact' = full-res reference crops; 'fast' = the production "
+        "strided patch-einsum ROI path with channel projection",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -46,12 +51,18 @@ def main(argv=None):
     synthetic.write_kitti_tree(root, num_frames=2, n_ground=1024, n_obj=256, val_frames=())
 
     cfg = unittest_config(dataset_root=root)
+    rpn = cfg.model.rpn
+    if args.roi == "fast":
+        rpn = dataclasses.replace(
+            rpn, bev_roi_stride=2, img_roi_stride=2, roi_channels=4
+        )
     cfg = dataclasses.replace(
         cfg,
         checkpoint_name="overfit_check",
         experiments_dir=f"{workdir}/exp",
         model=dataclasses.replace(
             cfg.model,
+            rpn=rpn,
             anchors=AnchorConfig(sizes=(CAR_SIZE,), stride=1.0, max_anchors=1024),
             mini_batch=MiniBatchConfig(
                 rpn_batch_size=128, avod_batch_size=32,

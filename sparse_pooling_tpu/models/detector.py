@@ -67,28 +67,83 @@ class RpnHead(nn.Module):
 
 
 class Stage2Head(nn.Module):
-    """AVOD second-stage head: 3 FCs -> cls / box_4c / orientation."""
+    """AVOD second-stage head: FC stack(s) -> cls / box_4c / orientation.
+
+    ``fusion_type`` selects WHERE the views fuse (reference avod_model's
+    early/late/deep axis); ``fusion_method`` selects HOW ('mean' respects
+    path-drop via the caller's denom, 'concat' relies on dropped branches
+    being zeroed).
+    """
 
     fc_layers: tuple
     num_classes: int
     keep_dropout_prob: float
     dtype: Any
+    fusion_type: str = "early"
+    fusion_method: str = "mean"
+    box_dim: int = 10  # 10 = box_4c, 24 = box_8c, 6 = anchor offsets (rcnn)
+
+    def _combine(self, views, denom):
+        if len(views) == 1:
+            return views[0]
+        if self.fusion_method == "concat":
+            return jnp.concatenate(views, axis=-1)
+        return sum(views) / denom
 
     @nn.compact
-    def __call__(self, rois, train: bool):
-        b, p = rois.shape[:2]
-        x = rois.reshape(b, p, -1).astype(self.dtype)
-        for i, width in enumerate(self.fc_layers):
-            x = nn.relu(nn.Dense(width, dtype=self.dtype, name=f"fc{i + 1}")(x))
-            x = nn.Dropout(
-                rate=1.0 - self.keep_dropout_prob, deterministic=not train
-            )(x)
+    def __call__(self, roi_views, train: bool, denom=1.0):
+        """roi_views: list of per-view ROI stacks [B, P, S, S, C] (a single
+        pre-fused stack is also accepted); denom [B,1,1]-broadcastable
+        count of kept branches for path-drop-aware mean fusion."""
+
+        if not isinstance(roi_views, (list, tuple)):
+            roi_views = [roi_views]
+        b, p = roi_views[0].shape[:2]
+        views = [v.reshape(b, p, -1).astype(self.dtype) for v in roi_views]
+
+        drop = nn.Dropout(rate=1.0 - self.keep_dropout_prob, deterministic=not train)
+        # post-FC combines divide by the BRANCH COUNT, not the path-drop
+        # denom: an FC of a zeroed input is not zero (bias), so the kept
+        # count no longer describes the terms (matches the reference, whose
+        # path-drop also only zeroes the feature-map inputs)
+        n_views = float(len(views))
+        if self.fusion_type == "late" and len(views) > 1:
+            outs = []
+            for vi, x in enumerate(views):
+                for i, width in enumerate(self.fc_layers):
+                    x = nn.relu(
+                        nn.Dense(width, dtype=self.dtype, name=f"fc{i + 1}_v{vi}")(x)
+                    )
+                    x = drop(x)
+                outs.append(x)
+            x = self._combine(outs, n_views)
+        elif self.fusion_type == "deep" and len(views) > 1:
+            fused = self._combine(views, denom)
+            for i, width in enumerate(self.fc_layers):
+                branch = [
+                    drop(
+                        nn.relu(
+                            nn.Dense(
+                                width, dtype=self.dtype, name=f"fc{i + 1}_v{vi}"
+                            )(fused)
+                        )
+                    )
+                    for vi in range(len(views))
+                ]
+                fused = self._combine(branch, n_views)
+            x = fused
+        else:  # early (and the single-view callers)
+            x = self._combine(views, denom)
+            for i, width in enumerate(self.fc_layers):
+                x = nn.relu(nn.Dense(width, dtype=self.dtype, name=f"fc{i + 1}")(x))
+                x = drop(x)
+
         cls_logits = nn.Dense(self.num_classes + 1, dtype=jnp.float32, name="cls")(x)
-        box4c_offsets = nn.Dense(10, dtype=jnp.float32, name="box4c")(x)
+        box_offsets = nn.Dense(self.box_dim, dtype=jnp.float32, name="box_reg")(x)
         orientation = nn.Dense(2, dtype=jnp.float32, name="orientation")(x)
         return (
             cls_logits.astype(jnp.float32),
-            box4c_offsets.astype(jnp.float32),
+            box_offsets.astype(jnp.float32),
             orientation.astype(jnp.float32),
         )
 
@@ -109,12 +164,26 @@ class SparsePoolingDetector(nn.Module):
             c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
         )
         mid_ch = c.backbone.channels[-1]
-        self.bev_fusion = SparsePoolFusion(mid_ch, dt)
+        pc = c.sparse_pool.pool_channels
+        self.bev_fusion = SparsePoolFusion(mid_ch, dt, pool_channels=pc)
         if c.sparse_pool.bev_to_img:
-            self.img_fusion = SparsePoolFusion(mid_ch, dt)
+            self.img_fusion = SparsePoolFusion(mid_ch, dt, pool_channels=pc)
+        if c.rpn.roi_channels:
+            if c.rpn.bev_roi_stride > 1:
+                self.bev_roi_proj = nn.Conv(
+                    c.rpn.roi_channels, (1, 1), dtype=dt, name="bev_roi_proj"
+                )
+            if c.rpn.img_roi_stride > 1:
+                self.img_roi_proj = nn.Conv(
+                    c.rpn.roi_channels, (1, 1), dtype=dt, name="img_roi_proj"
+                )
         self.rpn_head = RpnHead(c.rpn.fusion_channels, dt)
+        if c.avod.box_rep not in ("box_4c", "box_8c"):
+            raise ValueError(f"unknown box_rep '{c.avod.box_rep}'")
         self.stage2_head = Stage2Head(
-            c.avod.fc_layers, c.num_classes, c.avod.keep_dropout_prob, dt
+            c.avod.fc_layers, c.num_classes, c.avod.keep_dropout_prob, dt,
+            fusion_type=c.avod.fusion_type, fusion_method=c.avod.fusion_method,
+            box_dim=10 if c.avod.box_rep == "box_4c" else 24,
         )
 
     def __call__(
@@ -171,29 +240,39 @@ class SparsePoolingDetector(nn.Module):
         )
 
         s = c.rpn.proposal_roi_size
-        if c.rpn.bev_roi_stride > 1:
-            st = c.rpn.bev_roi_stride
-            bev_src = nn.avg_pool(bev_feat, (st, st), strides=(st, st))
-            # avg_pool cell r covers content rows [r*st, (r+1)*st): its
+
+        def _rpn_patch_rois(feat, boxes_px_full, stride, proj):
+            """avg_pool(stride) -> optional 1x1 channel projection ->
+            centered patch-einsum crop. The projection shrinks the
+            HBM-bound patch gather ~4x (config.rpn.roi_channels)."""
+
+            src = nn.avg_pool(feat, (stride, stride), strides=(stride, stride))
+            if proj is not None and src.shape[-1] > c.rpn.roi_channels:
+                src = proj(src)
+            # avg_pool cell r covers full-res rows [r*st, (r+1)*st): its
             # center sits at full-res pixel r*st + (st-1)/2
-            bev_px_pooled = (bev_boxes * bev_px_scale - (st - 1) / 2) / st
-            bev_rois = crop_and_resize_patch_einsum_px(
-                bev_src, bev_px_pooled, (s, s), patch=c.rpn.roi_patch
+            boxes_pooled = (boxes_px_full - (stride - 1) / 2) / stride
+            return crop_and_resize_patch_einsum_px(
+                src, boxes_pooled, (s, s), patch=c.rpn.roi_patch
+            )
+
+        if c.rpn.bev_roi_stride > 1:
+            bev_rois = _rpn_patch_rois(
+                bev_feat, bev_boxes * bev_px_scale, c.rpn.bev_roi_stride,
+                getattr(self, "bev_roi_proj", None),
             )
         else:
             bev_rois = crop_and_resize_px_batch(
                 bev_feat, bev_boxes * bev_px_scale, (s, s)
             )
         if c.rpn.img_roi_stride > 1:
-            sti = c.rpn.img_roi_stride
-            img_src = nn.avg_pool(img_feat, (sti, sti), strides=(sti, sti))
             img_px_scale = jnp.array(
                 [img_hw[0] - 1.0, img_hw[1] - 1.0, img_hw[0] - 1.0,
                  img_hw[1] - 1.0], jnp.float32,
             )
-            img_px_pooled = (img_boxes * img_px_scale - (sti - 1) / 2) / sti
-            img_rois = crop_and_resize_patch_einsum_px(
-                img_src, img_px_pooled, (s, s), patch=c.rpn.roi_patch
+            img_rois = _rpn_patch_rois(
+                img_feat, img_boxes * img_px_scale, c.rpn.img_roi_stride,
+                getattr(self, "img_roi_proj", None),
             )
         else:
             img_rois = crop_and_resize_batch(img_feat, img_boxes, (s, s))
@@ -226,15 +305,11 @@ class SparsePoolingDetector(nn.Module):
             bev_feat, prop_bev * bev_px_scale, (s2, s2)
         )
         img_rois2 = crop_and_resize_batch(img_feat, prop_img, (s2, s2))
-        if c.avod.fusion_method == "concat":
-            rois2 = jnp.concatenate(
-                [bev_rois2.astype(jnp.float32), img_rois2.astype(jnp.float32)], axis=-1
-            )
-        else:
-            rois2 = (
-                bev_rois2.astype(jnp.float32) + img_rois2.astype(jnp.float32)
-            ) / denom
-        cls_logits, box4c_offsets, orientation = self.stage2_head(rois2, train)
+        cls_logits, box_offsets, orientation = self.stage2_head(
+            [bev_rois2.astype(jnp.float32), img_rois2.astype(jnp.float32)],
+            train,
+            denom=denom[..., 0, 0],  # [B, 1, 1] for the [B, P, F] stacks
+        )
 
         return {
             "objectness": objectness,  # [B, A, 2]
@@ -245,7 +320,7 @@ class SparsePoolingDetector(nn.Module):
             "proposal_scores": proposal_scores,  # [B, P]
             "proposal_valid": sel.valid,  # [B, P]
             "cls_logits": cls_logits,  # [B, P, C+1]
-            "box4c_offsets": box4c_offsets,  # [B, P, 10]
+            "box_offsets": box_offsets,  # [B, P, 10 (box_4c) | 24 (box_8c)]
             "orientation": orientation,  # [B, P, 2]
         }
 
@@ -265,9 +340,16 @@ def decode_detections(
     proposals = outputs["proposals"]  # [B, P, 6]
     plane = jnp.asarray(ground_plane)[:, None, :]  # [B, 1, 4] broadcast over P
     prop_box3d = encoders.anchor_to_box_3d(proposals)
-    prop_4c = encoders.box_3d_to_box_4c(prop_box3d, plane)
-    final_4c = encoders.offsets_to_box_4c(prop_4c, outputs["box4c_offsets"])
-    boxes_3d = encoders.box_4c_to_box_3d(final_4c, plane)
+    if cfg.avod.box_rep == "box_8c":
+        prop_corners = encoders.box_3d_to_corners(prop_box3d)
+        final_corners = encoders.offsets_to_box_8c(
+            prop_corners, outputs["box_offsets"]
+        )
+        boxes_3d = encoders.box_8c_to_box_3d(final_corners)
+    else:
+        prop_4c = encoders.box_3d_to_box_4c(prop_box3d, plane)
+        final_4c = encoders.offsets_to_box_4c(prop_4c, outputs["box_offsets"])
+        boxes_3d = encoders.box_4c_to_box_3d(final_4c, plane)
 
     # orientation resolution: flip ry by pi toward the predicted heading
     theta = encoders.vector_to_angle(outputs["orientation"])

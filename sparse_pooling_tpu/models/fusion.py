@@ -18,29 +18,43 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from sparse_pooling_tpu.ops.sparse_build import DeviceCoo
-from sparse_pooling_tpu.ops.sparse_pool import sparse_pool_coo_batch
+from sparse_pooling_tpu.ops.sparse_pool import sparse_pool_point_major_batch
 
 
 class SparsePoolFusion(nn.Module):
-    """Fuse source-view features into the target view's lattice."""
+    """Fuse source-view features into the target view's lattice.
+
+    ``pool_channels`` > 0 bottlenecks the source features with a learned
+    1x1 conv before pooling: the pooling cost is linear in channel width
+    (gather + scatter of every nonzero), and a 256->64 projection keeps
+    the fusion information flowing at 1/4 the HBM traffic. 0 pools the
+    full source width (the reference's semantics).
+    """
 
     out_channels: int
     dtype: jnp.dtype = jnp.bfloat16
+    pool_channels: int = 0
 
     @nn.compact
     def __call__(self, native: jnp.ndarray, source: jnp.ndarray, coo: DeviceCoo):
-        """native [B, Ht, Wt, C], source [B, Hs, Ws, C], coo arrays [B, N]
-        -> fused [B, Ht, Wt, out].
+        """native [B, Ht, Wt, C], source [B, Hs, Ws, C], coo point-major
+        ([B, P] rows, [B, P, 4] cols/vals) -> fused [B, Ht, Wt, out].
 
-        The COO weights stay fp32 (bilinear weights lose too much in bf16);
-        pooled features are cast back to the compute dtype for the conv.
+        The bilinear weights stay fp32 and the tap-combine accumulates
+        fp32 (bf16 weights lose too much); features are gathered in the
+        compute dtype to halve the pooling's HBM traffic.
         """
 
         b = native.shape[0]
         ht, wt = coo.target_hw
         hs, ws = coo.source_hw
-        src_flat = source.reshape(b, hs * ws, source.shape[-1]).astype(jnp.float32)
-        pooled = sparse_pool_coo_batch(
+        src = source.astype(self.dtype)
+        if self.pool_channels and source.shape[-1] > self.pool_channels:
+            src = nn.Conv(
+                self.pool_channels, (1, 1), dtype=self.dtype, name="pool_proj"
+            )(src)
+        src_flat = src.reshape(b, hs * ws, src.shape[-1])
+        pooled = sparse_pool_point_major_batch(
             src_flat, coo.rows, coo.cols, coo.vals, num_targets=ht * wt
         )
         pooled_map = pooled.reshape(b, ht, wt, -1).astype(self.dtype)

@@ -118,14 +118,16 @@ class FusionRcnn(nn.Module):
             c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
         )
         mid_ch = c.backbone.channels[-1]
-        self.bev_fusion = SparsePoolFusion(mid_ch, dt)
-        self.img_fusion = SparsePoolFusion(mid_ch, dt)
+        pc = c.sparse_pool.pool_channels
+        self.bev_fusion = SparsePoolFusion(mid_ch, dt, pool_channels=pc)
+        self.img_fusion = SparsePoolFusion(mid_ch, dt, pool_channels=pc)
         self.rpn_head = ConvRpnHead(
             c.rpn.fusion_channels,
             len(c.anchors.rotations) * len(c.anchors.sizes), dt,
         )
         self.stage2_head = Stage2Head(
-            c.avod.fc_layers, c.num_classes, c.avod.keep_dropout_prob, dt
+            c.avod.fc_layers, c.num_classes, c.avod.keep_dropout_prob, dt,
+            box_dim=6,  # this family regresses 6-d anchor offsets
         )
 
     def __call__(self, inputs: Dict[str, Any], train: bool = False):
@@ -178,10 +180,8 @@ class FusionRcnn(nn.Module):
             ).astype(jnp.float32)
             + crop_and_resize_batch(img_feat, prop_img, (s2, s2)).astype(jnp.float32)
         ) / 2.0
+        # stage-2 regression reuses the 6-d anchor-offset encoding
         cls_logits, box_offsets, orientation = self.stage2_head(rois, train)
-        # stage-2 regression reuses the 6-d anchor-offset encoding (first 6
-        # of the 10-wide head output; the rest are unused for this family)
-        box_offsets = box_offsets[..., :6]
 
         return {
             "objectness": objectness,

@@ -68,11 +68,17 @@ def detector_loss(
 
     sel_prop = jnp.take(proposals, mb2.indices, axis=0)
     prop_box3d = encoders.anchor_to_box_3d(sel_prop)
-    prop_4c = encoders.box_3d_to_box_4c(prop_box3d, ground_plane)
     sel_gt_3d = jnp.take(gt_boxes_3d, mb2.gt_idx, axis=0)
-    gt_4c = encoders.box_3d_to_box_4c(sel_gt_3d, ground_plane)
-    reg_targets2 = encoders.box_4c_to_offsets(prop_4c, gt_4c)
-    sel_off2 = jnp.take(outputs["box4c_offsets"], mb2.indices, axis=0)
+    if cfg.avod.box_rep == "box_8c":
+        prop_corners = encoders.box_3d_to_corners(prop_box3d)
+        gt_corners = encoders.box_3d_to_corners(sel_gt_3d)
+        reg_targets2 = encoders.box_8c_to_offsets(prop_corners, gt_corners)
+        reg_targets2 = reg_targets2.reshape(reg_targets2.shape[0], 24)
+    else:
+        prop_4c = encoders.box_3d_to_box_4c(prop_box3d, ground_plane)
+        gt_4c = encoders.box_3d_to_box_4c(sel_gt_3d, ground_plane)
+        reg_targets2 = encoders.box_4c_to_offsets(prop_4c, gt_4c)
+    sel_off2 = jnp.take(outputs["box_offsets"], mb2.indices, axis=0)
     pos_w2 = mb2.weights * mb2.is_pos.astype(jnp.float32)
     s2_reg_loss = weighted_smooth_l1(sel_off2, reg_targets2, pos_w2)
 

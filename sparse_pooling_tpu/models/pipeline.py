@@ -7,9 +7,10 @@ outputs. The reference splits this across host numpy (BEV maps, sparse
 matrices: ``kitti_utils``) and the TF graph; here everything after file IO
 runs on device (SURVEY.md §4.1 hot-loop redesign).
 
-The model itself is batch-native (see ``models.detector``); the per-sample
-input builders (voxelizer, COO construction, anchor filter — segment ops
-that vmap efficiently) are vmapped over the batch here.
+The model is batch-native (see ``models.detector``) and so are the input
+builders: the voxelizer and COO builder flatten the batch into single
+segment ops (vmapped scatters lower poorly on TPU); only the anchor filter
+stays vmapped (top_k/gathers batch fine).
 """
 
 from __future__ import annotations
@@ -74,6 +75,15 @@ def make_model(cfg: ModelConfig, extents: AreaExtents = AreaExtents()):
     for name, (h, w) in {"bev": (bh, bw), "image": (cfg.image.height, cfg.image.width)}.items():
         if h % s or w % s:
             raise ValueError(f"{name} lattice {h}x{w} not divisible by stride {s}")
+    if cfg.rpn.roi_channels and (
+        (cfg.rpn.bev_roi_stride > 1) != (cfg.rpn.img_roi_stride > 1)
+    ):
+        raise ValueError(
+            "rpn.roi_channels projects the strided view to "
+            f"{cfg.rpn.roi_channels} channels; with only one view strided "
+            "the RPN mean-fuse would mix mismatched widths — stride both "
+            "views, neither, or set roi_channels=0"
+        )
     if cfg.architecture == "rcnn":
         from sparse_pooling_tpu.models.fusion_rcnn import FusionRcnn
 
@@ -83,62 +93,6 @@ def make_model(cfg: ModelConfig, extents: AreaExtents = AreaExtents()):
     return SparsePoolingDetector(cfg=cfg, extents=extents)
 
 
-def _build_inputs_one(
-    raw: RawSample,
-    anchors_static: jnp.ndarray,
-    cfg: ModelConfig,
-    extents: AreaExtents,
-) -> Dict[str, Any]:
-    """Per-sample in-graph input construction (vmapped over the batch)."""
-
-    bev_input = bev_device.bev_maps_from_points(
-        raw.points, raw.points_mask, raw.ground_plane, extents, cfg.bev
-    )
-    image = raw.image.astype(jnp.float32) / 255.0
-
-    m_bev, m_fv = sparse_build.build_coo_device(
-        raw.points, raw.points_mask, raw.p2, extents, cfg.bev, cfg.image,
-        cfg.sparse_pool,
-    )
-
-    # occupancy for the empty-anchor filter comes from the BEV density
-    # channel (already a per-cell scatter); density > 0 <=> count >= 1,
-    # covering density_threshold == 1 (the reference default)
-    h, w = cfg.bev.grid_hw(extents)
-    if cfg.anchors.density_threshold <= 1:
-        occupancy = (bev_input[:h, :, cfg.bev.height_slices] > 0).astype(
-            jnp.float32
-        )
-    else:
-        occupancy = bev_device.bev_counts_from_points(
-            raw.points, raw.points_mask, extents, cfg.bev.voxel_size
-        )
-    anchors_frame = anchors_with_ground_y(anchors_static, raw.ground_plane)
-    if cfg.architecture == "rcnn":
-        # dense conv-RPN grid: every lattice anchor stays live (the conv
-        # head scores all of them), no point-occupancy filtering
-        filtered = anchor_ops.FilteredAnchors(
-            anchors=anchors_frame,
-            valid=jnp.ones((anchors_frame.shape[0],), bool),
-        )
-    else:
-        filtered = anchor_ops.filter_anchors_device(
-            anchors_frame, occupancy, extents, cfg.bev,
-            max_anchors=cfg.anchors.max_anchors,
-            density_threshold=cfg.anchors.density_threshold,
-        )
-
-    return {
-        "bev_input": bev_input,
-        "image": image,
-        "m_bev": m_bev,
-        "m_fv": m_fv,
-        "anchors": filtered.anchors,
-        "anchor_valid": filtered.valid,
-        "p2": raw.p2,
-    }
-
-
 def build_model_inputs_batch(
     batch: RawSample,  # leading batch dim on every field
     anchors_static: jnp.ndarray,
@@ -146,11 +100,62 @@ def build_model_inputs_batch(
     cfg: ModelConfig,
     extents: AreaExtents,
 ) -> Dict[str, Any]:
-    inputs = jax.vmap(
-        lambda r: _build_inputs_one(r, anchors_static, cfg, extents)
-    )(batch)
-    inputs["path_keep"] = path_keep
-    return inputs
+    """Batch-native input construction.
+
+    The voxelizer and COO builder flatten the batch into one segment op
+    each (their vmapped forms lower to XLA's slow batched scatters —
+    measured 3-4x slower at batch 8, tools/profile_micro.py); only the
+    anchor filter (top_k + integral-image gathers, which batch fine) stays
+    vmapped.
+    """
+
+    bev_input = bev_device.bev_maps_from_points_batch(
+        batch.points, batch.points_mask, batch.ground_plane, extents, cfg.bev
+    )
+    image = batch.image.astype(jnp.float32) / 255.0
+    m_bev, m_fv = sparse_build.build_coo_device(
+        batch.points, batch.points_mask, batch.p2, extents, cfg.bev,
+        cfg.image, cfg.sparse_pool,
+    )
+
+    h, w = cfg.bev.grid_hw(extents)
+    if cfg.anchors.density_threshold <= 1:
+        occupancy = (bev_input[:, :h, :, cfg.bev.height_slices] > 0).astype(
+            jnp.float32
+        )
+    else:
+        occupancy = jax.vmap(
+            lambda p, m: bev_device.bev_counts_from_points(
+                p, m, extents, cfg.bev.voxel_size
+            )
+        )(batch.points, batch.points_mask)
+
+    anchors_frame = jax.vmap(
+        lambda g: anchors_with_ground_y(anchors_static, g)
+    )(batch.ground_plane)
+    if cfg.architecture == "rcnn":
+        valid = jnp.ones(anchors_frame.shape[:2], bool)
+        filtered_anchors, filtered_valid = anchors_frame, valid
+    else:
+        filtered = jax.vmap(
+            lambda a, o: anchor_ops.filter_anchors_device(
+                a, o, extents, cfg.bev,
+                max_anchors=cfg.anchors.max_anchors,
+                density_threshold=cfg.anchors.density_threshold,
+            )
+        )(anchors_frame, occupancy)
+        filtered_anchors, filtered_valid = filtered.anchors, filtered.valid
+
+    return {
+        "bev_input": bev_input,
+        "image": image,
+        "m_bev": m_bev,
+        "m_fv": m_fv,
+        "anchors": filtered_anchors,
+        "anchor_valid": filtered_valid,
+        "p2": batch.p2,
+        "path_keep": path_keep,
+    }
 
 
 def build_model_inputs(

@@ -111,8 +111,85 @@ def bev_counts_from_points(
     return counts.reshape(h, w)
 
 
-def bev_maps_batch(points, mask, ground_plane, extents, cfg):
-    """vmapped batch variant: [B, P, 3], [B, P], [B, 4] -> [B, H+pad, W, C]."""
+@functools.partial(jax.jit, static_argnames=("extents", "cfg"))
+def bev_maps_from_points_batch(
+    points: jnp.ndarray,  # [B, P, 3]
+    mask: jnp.ndarray,  # [B, P]
+    ground_plane: jnp.ndarray,  # [B, 4]
+    extents: AreaExtents,
+    cfg: BevConfig,
+) -> jnp.ndarray:
+    """Batch-native voxelizer: [B, P, 3] -> [B, H+pad, W, C].
 
-    fn = functools.partial(bev_maps_from_points, extents=extents, cfg=cfg)
-    return jax.vmap(fn)(points, mask, ground_plane)
+    Flattens the batch into the segment-index space (one segment_sum /
+    segment_max over B*(cells+1) segments) instead of vmapping the
+    per-sample builder — vmap lowers the scatters to XLA's slow batched
+    form (measured 18 ms/batch vs ~6 for the flat form at batch 8,
+    tools/profile_micro.py). Semantics identical to
+    ``bev_maps_from_points`` per sample (parity-tested).
+    """
+
+    bsz = points.shape[0]
+    h, w = cfg.grid_hw(extents)
+    n_slices = cfg.height_slices
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]  # [B, P]
+
+    valid = (
+        mask
+        & (x >= extents.x_min) & (x < extents.x_max)
+        & (y >= extents.y_min) & (y < extents.y_max)
+        & (z >= extents.z_min) & (z < extents.z_max)
+    )
+
+    col = jnp.clip(
+        jnp.floor((x - extents.x_min) / cfg.voxel_size).astype(jnp.int32), 0, w - 1
+    )
+    row = jnp.clip(
+        jnp.floor((z - extents.z_min) / cfg.voxel_size).astype(jnp.int32), 0, h - 1
+    )
+    lin = row * w + col
+
+    num_cells = h * w
+    seg = num_cells + 1  # per-sample sentinel segment for masked points
+    boff = (jnp.arange(bsz, dtype=jnp.int32) * seg)[:, None]
+    dens_idx = (jnp.where(valid, lin, num_cells) + boff).reshape(-1)
+    counts = jax.ops.segment_sum(
+        jnp.ones((bsz * points.shape[1],), jnp.float32),
+        dens_idx,
+        num_segments=bsz * seg,
+    ).reshape(bsz, seg)[:, :num_cells]
+    density = jnp.minimum(
+        1.0, jnp.log(counts + 1.0) / jnp.log(cfg.density_log_norm)
+    ).reshape(bsz, h, w)
+
+    gp = ground_plane[:, :, None]  # [B, 4, 1]
+    heights = (
+        x * gp[:, 0] + y * gp[:, 1] + z * gp[:, 2] + gp[:, 3] - cfg.height_lo
+    )
+    slice_h = (cfg.height_hi - cfg.height_lo) / n_slices
+    s_idx = jnp.floor(heights / slice_h).astype(jnp.int32)
+    s_valid = valid & (s_idx >= 0) & (s_idx < n_slices)
+    rel_h = heights - s_idx.astype(heights.dtype) * slice_h
+    num_slice_cells = num_cells * n_slices
+    seg_s = num_slice_cells + 1
+    soff = (jnp.arange(bsz, dtype=jnp.int32) * seg_s)[:, None]
+    slice_lin = (
+        jnp.where(s_valid, lin * n_slices + s_idx, num_slice_cells) + soff
+    ).reshape(-1)
+    slice_max = jax.ops.segment_max(
+        jnp.where(s_valid, rel_h, 0.0).astype(jnp.float32).reshape(-1),
+        slice_lin,
+        num_segments=bsz * seg_s,
+    ).reshape(bsz, seg_s)[:, :num_slice_cells]
+    slice_maps = (
+        jnp.maximum(slice_max, 0.0).reshape(bsz, h, w, n_slices) / slice_h
+    )
+
+    out = jnp.concatenate([slice_maps, density[..., None]], axis=-1)
+    return jnp.pad(out, ((0, 0), (0, cfg.pad_h), (0, 0), (0, 0)))
+
+
+def bev_maps_batch(points, mask, ground_plane, extents, cfg):
+    """Batch variant: [B, P, 3], [B, P], [B, 4] -> [B, H+pad, W, C]."""
+
+    return bev_maps_from_points_batch(points, mask, ground_plane, extents, cfg)

@@ -280,6 +280,7 @@ def _patch_coords(boxes_px, h, w, crop_hw, patch):
 
 def _patch_einsum_impl(images, boxes_px, crop_hw, patch):
     b, h, w, c = images.shape
+    ch, cw = crop_hw
     n = boxes_px.shape[1]
     ys, xs, y_start, x_start = _patch_starts(boxes_px, h, w, crop_hw, patch)
 
@@ -299,16 +300,29 @@ def _patch_einsum_impl(images, boxes_px, crop_hw, patch):
 
     # clip to the ACTUAL window extent (min(patch, dim) - 1) so degenerate
     # maps smaller than the patch still blend with unit total weight
-    rel_y = jnp.clip(ys - y_start[..., None], 0.0, min(patch, h) - 1.0)
-    rel_x = jnp.clip(xs - x_start[..., None], 0.0, min(patch, w) - 1.0)
-    grid = jnp.arange(min(patch, h), dtype=rel_y.dtype)
+    py, px = min(patch, h), min(patch, w)
+    rel_y = jnp.clip(ys - y_start[..., None], 0.0, py - 1.0)
+    rel_x = jnp.clip(xs - x_start[..., None], 0.0, px - 1.0)
+    grid = jnp.arange(py, dtype=rel_y.dtype)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(rel_y[..., None] - grid))  # [B,N,ch,P]
-    grid_x = jnp.arange(min(patch, w), dtype=rel_x.dtype)
+    grid_x = jnp.arange(px, dtype=rel_x.dtype)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(rel_x[..., None] - grid_x))
-    return jnp.einsum(
-        "bnip,bnjq,bnpqc->bnijc", wy.astype(images.dtype), wx.astype(images.dtype),
-        patches, preferred_element_type=images.dtype,
-    )
+
+    # two batched dot_generals instead of a 3-operand einsum: measured 9.5
+    # vs 18.5 ms/batch at RPN scale (tools/profile_micro.py) — XLA contracts
+    # the flattened (q c) dim on the MXU instead of looping tiny factors
+    wy = wy.astype(images.dtype)
+    wx = wx.astype(images.dtype)
+    t = jax.lax.dot_general(
+        wy, patches.reshape(b, n, py, px * c),
+        (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=images.dtype,
+    ).reshape(b, n, ch, px, c)  # [B,N,ch,px,C]
+    return jax.lax.dot_general(
+        wx, t,
+        (((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=images.dtype,
+    ).transpose(0, 1, 3, 2, 4)  # [B,N,cw,ch,C] -> [B,N,ch,cw,C]
 
 
 @functools.cache

@@ -119,6 +119,62 @@ def box_3d_to_corners(boxes_3d):
     return jnp.concatenate([bottom, top], axis=-2)
 
 
+def box_8c_to_offsets(prop_corners, gt_corners):
+    """Stage-2 box_8c regression target (reference box_8c_encoder):
+    per-corner differences normalized by the proposal's AABB diagonal.
+
+    prop/gt corners: [..., 8, 3] from ``box_3d_to_corners``.
+    """
+
+    prop_corners = jnp.asarray(prop_corners)
+    gt_corners = jnp.asarray(gt_corners)
+    ext = prop_corners.max(axis=-2) - prop_corners.min(axis=-2)  # [..., 3]
+    diag = jnp.sqrt(jnp.sum(ext**2, axis=-1))[..., None, None]
+    return (gt_corners - prop_corners) / jnp.maximum(diag, 1e-6)
+
+
+def offsets_to_box_8c(prop_corners, offsets):
+    """Inverse of ``box_8c_to_offsets``; offsets may be [..., 24] flat."""
+
+    prop_corners = jnp.asarray(prop_corners)
+    offsets = jnp.asarray(offsets)
+    if offsets.shape[-1] == 24:
+        offsets = offsets.reshape(*offsets.shape[:-1], 8, 3)
+    ext = prop_corners.max(axis=-2) - prop_corners.min(axis=-2)
+    diag = jnp.sqrt(jnp.sum(ext**2, axis=-1))[..., None, None]
+    return prop_corners + offsets * jnp.maximum(diag, 1e-6)
+
+
+def box_8c_to_box_3d(corners):
+    """[..., 8, 3] corners -> [..., 7] box_3d (least-squares-style fit).
+
+    Decoded corner sets are only approximately box-shaped; the fit follows
+    the reference box_8c decode: centroid for x/z, mean face heights for
+    y/h, mean edge vectors for l/w/ry (corner order of
+    ``box_3d_to_corners``).
+    """
+
+    corners = jnp.asarray(corners)
+    bottom = corners[..., :4, :]
+    top = corners[..., 4:, :]
+    xc = jnp.mean(corners[..., 0], axis=-1)
+    zc = jnp.mean(corners[..., 2], axis=-1)
+    y_bottom = jnp.mean(bottom[..., 1], axis=-1)
+    y_top = jnp.mean(top[..., 1], axis=-1)
+    h = jnp.abs(y_bottom - y_top)
+
+    # bottom order: [l/2,w/2], [l/2,-w/2], [-l/2,-w/2], [-l/2,w/2] rotated
+    mid = lambda a, b: (bottom[..., a, :] + bottom[..., b, :]) / 2
+    lvec = mid(0, 1) - mid(2, 3)  # along +l
+    wvec = mid(0, 3) - mid(1, 2)  # along +w
+    l = jnp.sqrt(lvec[..., 0] ** 2 + lvec[..., 2] ** 2)
+    w = jnp.sqrt(wvec[..., 0] ** 2 + wvec[..., 2] ** 2)
+    ry = jnp.arctan2(-lvec[..., 2], lvec[..., 0])
+    ry = jnp.where(ry > jnp.pi / 2, ry - jnp.pi, ry)
+    ry = jnp.where(ry <= -jnp.pi / 2, ry + jnp.pi, ry)
+    return jnp.stack([xc, y_bottom, zc, l, w, h, ry], axis=-1)
+
+
 # ---------------------------------------------------------------- box_4c
 
 def _unit_plane(ground_plane):

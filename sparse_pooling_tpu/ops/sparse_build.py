@@ -27,6 +27,7 @@ from typing import Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sparse_pooling_tpu.configs.config import (
     AreaExtents,
@@ -38,21 +39,39 @@ from sparse_pooling_tpu.configs.config import (
 
 @flax.struct.dataclass
 class DeviceCoo:
-    """One pooling direction on device. Invalid entries carry weight 0.
+    """One pooling direction on device, POINT-MAJOR: each point carries its
+    4 bilinear source taps inline. Invalid points carry weight 0.
 
-    The lattice shapes are static metadata (pytree aux data), so they stay
-    concrete Python ints under jit/vmap.
+    Point-major (vs a flat 4P-entry COO) lets the pooling pre-combine the
+    4 taps per point before the scatter — 4x less segment-sum traffic
+    (measured 16.6 vs 26.1 ms/batch at production shapes,
+    tools/profile_micro.py). ``flat()`` expands to the flat COO layout for
+    generic consumers/tests. The lattice shapes are static metadata (pytree
+    aux data), so they stay concrete Python ints under jit/vmap.
     """
 
-    rows: jnp.ndarray  # [N] int32 target linear index
-    cols: jnp.ndarray  # [N] int32 source linear index
-    vals: jnp.ndarray  # [N] f32 row-normalized weights
+    rows: jnp.ndarray  # [..., P] int32 target linear index per point
+    cols: jnp.ndarray  # [..., P, 4] int32 source linear indices
+    vals: jnp.ndarray  # [..., P, 4] f32 row-normalized weights
     target_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     source_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
 
+    def flat(self):
+        """Expand to flat COO (rows4 [..., 4P], cols4, vals4)."""
+
+        k = self.cols.shape[-1]
+        lead = self.cols.shape[:-2]
+        rows = jnp.repeat(self.rows, k, axis=-1)
+        return (
+            rows,
+            self.cols.reshape(*lead, -1),
+            self.vals.reshape(*lead, -1),
+        )
+
 
 def _bilinear_expand(target_idx, src_u, src_v, valid, source_hw):
-    """Each (target, continuous source) pair -> 4 COO entries, [4N] arrays."""
+    """Each (target, continuous source) pair -> 4 POINT-MAJOR taps:
+    rows [..., P], cols [..., P, 4], weights [..., P, 4]."""
 
     sh, sw = source_hw
     u = jnp.clip(src_u, 0.0, sw - 1.0)
@@ -65,21 +84,39 @@ def _bilinear_expand(target_idx, src_u, src_v, valid, source_hw):
     v1 = jnp.minimum(v0 + 1, sh - 1)
 
     cols = jnp.stack(
-        [v0 * sw + u0, v0 * sw + u1, v1 * sw + u0, v1 * sw + u1], axis=1
-    ).reshape(-1)
+        [v0 * sw + u0, v0 * sw + u1, v1 * sw + u0, v1 * sw + u1], axis=-1
+    )
     w = jnp.stack(
-        [(1 - dv) * (1 - du), (1 - dv) * du, dv * (1 - du), dv * du], axis=1
-    ).reshape(-1)
-    rows = jnp.repeat(target_idx, 4)
-    w = jnp.where(jnp.repeat(valid, 4), w, 0.0)
-    return rows, cols, w.astype(jnp.float32)
+        [(1 - dv) * (1 - du), (1 - dv) * du, dv * (1 - du), dv * du], axis=-1
+    )
+    w = jnp.where(valid[..., None], w, 0.0)
+    return target_idx, cols, w.astype(jnp.float32)
 
 
 def _normalize_rows(rows, vals, num_targets):
-    """L1-normalize weights within each target row (on-device segment sum)."""
+    """L1-normalize weights within each target row (on-device segment sum).
 
-    tot = jax.ops.segment_sum(vals, rows, num_segments=num_targets)
-    denom = jnp.take(tot, rows)
+    Point-major: rows [..., P], vals [..., P, K]. Leading batch dims are
+    flattened into the segment space (ONE segment_sum — vmapping this
+    scatter measured ~4x slower at batch 8, tools/profile_micro.py).
+    """
+
+    per_point = vals.sum(axis=-1)  # [..., P]
+    if rows.ndim == 1:
+        tot = jax.ops.segment_sum(per_point, rows, num_segments=num_targets)
+        denom = jnp.take(tot, rows)
+    else:
+        lead = rows.shape[:-1]
+        bsz = int(np.prod(lead)) if lead else 1
+        roff = (jnp.arange(bsz, dtype=rows.dtype) * num_targets).reshape(
+            *lead, 1
+        )
+        flat_rows = (rows + roff).reshape(-1)
+        tot = jax.ops.segment_sum(
+            per_point.reshape(-1), flat_rows, num_segments=bsz * num_targets
+        )
+        denom = jnp.take(tot, flat_rows).reshape(rows.shape)
+    denom = denom[..., None]
     return jnp.where(denom > 1e-12, vals / jnp.maximum(denom, 1e-12), 0.0)
 
 
@@ -87,9 +124,9 @@ def _normalize_rows(rows, vals, num_targets):
     jax.jit, static_argnames=("extents", "bev_cfg", "img_cfg", "sp_cfg")
 )
 def build_coo_device(
-    points: jnp.ndarray,  # [P, 3] f32 camera-frame, zero-padded
-    mask: jnp.ndarray,  # [P] bool
-    p2: jnp.ndarray,  # [3, 4] f32 projection matrix (network-canvas scaled)
+    points: jnp.ndarray,  # [..., P, 3] f32 camera-frame, zero-padded
+    mask: jnp.ndarray,  # [..., P] bool
+    p2: jnp.ndarray,  # [..., 3, 4] f32 projection matrix (canvas scaled)
     extents: AreaExtents,
     bev_cfg: BevConfig,
     img_cfg: ImageConfig,
@@ -100,6 +137,10 @@ def build_coo_device(
     ``p2`` must already map onto the fixed network canvas (the host dataset
     scales the raw calibration by the image resize factors).
     Semantics match ``data.sparse_matrix.build_sparse_pooling_input``.
+
+    Rank-polymorphic: leading batch dims flow through elementwise; the
+    row-normalization flattens them into ONE segment_sum (the vmapped form
+    lowers to XLA's slow batched scatter — tools/profile_micro.py).
     """
 
     s = float(sp_cfg.fusion_stride)
@@ -108,7 +149,7 @@ def build_coo_device(
     ih_f = img_cfg.height // sp_cfg.fusion_stride
     iw_f = img_cfg.width // sp_cfg.fusion_stride
 
-    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
     valid = (
         mask
         & (x >= extents.x_min) & (x < extents.x_max)
@@ -124,14 +165,16 @@ def build_coo_device(
     # NB: expanded elementwise, NOT via matmul — JAX's default matmul
     # precision on TPU is bf16-accumulate, which costs ~0.01 px here and
     # breaks the <=1e-3 parity bar. Elementwise ops stay true fp32 on the VPU.
-    u_n = p2[0, 0] * x + p2[0, 1] * y + p2[0, 2] * z + p2[0, 3]
-    v_n = p2[1, 0] * x + p2[1, 1] * y + p2[1, 2] * z + p2[1, 3]
-    depth = p2[2, 0] * x + p2[2, 1] * y + p2[2, 2] * z + p2[2, 3]
-    uvw = jnp.stack([u_n, v_n, depth], axis=1)
+    def pij(i, j):
+        return p2[..., i, j][..., None]  # broadcast over [..., P]
+
+    u_n = pij(0, 0) * x + pij(0, 1) * y + pij(0, 2) * z + pij(0, 3)
+    v_n = pij(1, 0) * x + pij(1, 1) * y + pij(1, 2) * z + pij(1, 3)
+    depth = pij(2, 0) * x + pij(2, 1) * y + pij(2, 2) * z + pij(2, 3)
     valid = valid & (depth > 1e-3)
     safe_depth = jnp.where(depth > 1e-3, depth, 1.0)
-    fv_u = uvw[:, 0] / safe_depth / s
-    fv_v = uvw[:, 1] / safe_depth / s
+    fv_u = u_n / safe_depth / s
+    fv_v = v_n / safe_depth / s
     # points must land on the canvas (frustum filter, device side)
     valid = valid & (fv_u >= 0) & (fv_u <= iw_f - 1) & (fv_v >= 0) & (fv_v <= ih_f - 1)
 

@@ -48,6 +48,53 @@ def sparse_pool_coo(
     )
 
 
+def sparse_pool_point_major(
+    src_feat: jnp.ndarray,  # [S, C]
+    rows: jnp.ndarray,  # [P] int32 target row per point
+    cols: jnp.ndarray,  # [P, K] int32 source rows (K bilinear taps)
+    vals: jnp.ndarray,  # [P, K] f32 weights (0 on padding)
+    num_targets: int,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Point-major sparse pooling: the K taps of each point are gathered,
+    weight-combined on the VPU (fp32), and scattered ONCE — K x less
+    segment-sum traffic than the flat COO form (measured 16.6 vs 26.1
+    ms/batch at production shapes, tools/profile_micro.py). Gathers run in
+    the feature dtype (bf16 in production); the combine accumulates fp32.
+    """
+
+    p, k = cols.shape
+    g = jnp.take(src_feat, cols.reshape(-1), axis=0).reshape(p, k, -1)
+    g = jnp.sum(g.astype(jnp.float32) * vals[..., None], axis=1)
+    return jax.ops.segment_sum(
+        g, rows, num_segments=num_targets, indices_are_sorted=indices_are_sorted
+    )
+
+
+def sparse_pool_point_major_batch(
+    src_feat: jnp.ndarray,  # [B, S, C]
+    rows: jnp.ndarray,  # [B, P]
+    cols: jnp.ndarray,  # [B, P, K]
+    vals: jnp.ndarray,  # [B, P, K]
+    num_targets: int,
+) -> jnp.ndarray:
+    """Batch-native point-major pooling -> [B, T, C] (flat index offsets,
+    one gather + one segment-sum — see ``sparse_pool_coo_batch``)."""
+
+    b, s, c = src_feat.shape
+    p, k = cols.shape[1:]
+    row_off = (jnp.arange(b, dtype=rows.dtype) * num_targets)[:, None]
+    col_off = (jnp.arange(b, dtype=cols.dtype) * s)[:, None, None]
+    flat = sparse_pool_point_major(
+        src_feat.reshape(b * s, c),
+        (rows + row_off).reshape(-1),
+        (cols + col_off).reshape(-1, k),
+        vals.reshape(-1, k),
+        num_targets=b * num_targets,
+    )
+    return flat.reshape(b, num_targets, c)
+
+
 def sparse_pool_ell(
     src_feat: jnp.ndarray,  # [S, C]
     ell_src: jnp.ndarray,  # [T, K] int32

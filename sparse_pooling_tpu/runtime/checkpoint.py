@@ -22,10 +22,39 @@ def _manager(ckpt_dir: str, keep: int = 10000) -> ocp.CheckpointManager:
 
 
 def save(ckpt_dir: str, step: int, state: Dict[str, Any], keep: int = 10000):
+    """One-shot SYNCHRONOUS save (tools/tests). Training uses
+    ``CheckpointWriter`` so the step loop never blocks on serialization."""
+
     mgr = _manager(ckpt_dir, keep)
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
     mgr.close()
+
+
+class CheckpointWriter:
+    """Async checkpoint writer for the train loop (SURVEY.md §6: 'Orbax
+    async checkpoint').
+
+    ``save`` snapshots the pytree and returns immediately — orbax's
+    CheckpointManager serializes in a background thread while the next
+    steps run (jax arrays are immutable and the train step does not donate
+    params, so the snapshot stays valid). A save that is still in flight
+    when the next one arrives is waited on by orbax internally; call
+    ``wait``/``close`` before reading checkpoints back or exiting.
+    """
+
+    def __init__(self, ckpt_dir: str, keep: int = 10000):
+        self._mgr = _manager(ckpt_dir, keep)
+
+    def save(self, step: int, state: Dict[str, Any]):
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()
 
 
 def restore(ckpt_dir: str, step: int, template: Dict[str, Any]) -> Dict[str, Any]:

@@ -25,6 +25,7 @@ import numpy as np
 
 from sparse_pooling_tpu.configs.config import AreaExtents, PipelineConfig
 from sparse_pooling_tpu.data.dataset import KittiDataset
+from sparse_pooling_tpu.data.prefetch import DevicePrefetcher
 from sparse_pooling_tpu.models import pipeline as pl
 from sparse_pooling_tpu.runtime import checkpoint as ckpt_mod
 from sparse_pooling_tpu.runtime import metrics as metrics_mod
@@ -52,21 +53,35 @@ class Evaluator:
         self.anchors_static = jnp.array(pl.static_anchor_grid(cfg.model, extents))
         self.summary = SummaryWriter(os.path.join(self.workdir, "eval_summaries"))
         self._eval_fn = None
+        self._ap_backend = "unknown"
 
     # ------------------------------------------------------------ forward
     def _make_eval_fn(self):
         cfg, ext = self.cfg.model, self.extents
 
         @jax.jit
-        def eval_fn(params, raw: pl.RawSample):
-            batch = jax.tree.map(lambda x: x[None], raw)
+        def eval_fn(params, batch: pl.RawSample):
             out = pl.forward_batch_fn(
                 self.model, params, batch, self.anchors_static, cfg, ext, False
             )
-            det = pl.decode_batch(out, batch.ground_plane, cfg, ext)
-            return jax.tree.map(lambda x: x[0], det)
+            return pl.decode_batch(out, batch.ground_plane, cfg, ext)
 
         return eval_fn
+
+    def _host_batches(self, batch_size: int):
+        """Val batches with a PADDED tail (the detector is static-shape;
+        extra rows repeat the last sample and are skipped on write)."""
+
+        ids = list(self.dataset.sample_ids)
+        for start in range(0, len(ids), batch_size):
+            chunk = ids[start : start + batch_size]
+            samples = [self.dataset.load_sample(s, augment_seed=None) for s in chunk]
+            while len(samples) < batch_size:
+                samples.append(samples[-1])
+            arrays = tuple(
+                np.stack([s.as_arrays()[i] for s in samples]) for i in range(8)
+            )
+            yield pl.RawSample(*arrays), (chunk, samples)
 
     # ------------------------------------------------------------ one ckpt
     def run_checkpoint_once(self, step: int, params=None) -> Dict:
@@ -87,24 +102,29 @@ class Evaluator:
         )
         os.makedirs(pred_dir, exist_ok=True)
 
+        # batched forward with a double-buffered host->device pipeline
+        # (SURVEY.md §4.2: the reference evaluates sample-at-a-time through
+        # feed_dict; a 3.7k-frame val sweep needs the bench-style batching)
+        bsz = max(cfg.eval.batch_size, 1)
+        prefetch = DevicePrefetcher(self._host_batches(bsz), depth=2)
         n = 0
         t0 = time.time()
-        for sid in self.dataset.sample_ids:
-            sample = self.dataset.load_sample(sid, augment_seed=None)
-            raw = pl.RawSample(*(jnp.array(a) for a in sample.as_arrays()))
-            det = self._eval_fn(params, raw)
-            det = jax.tree.map(np.asarray, det)
-            # predictions are written in RAW image coords: rescale P2 back
-            sy = cfg.model.image.height / sample.raw_image_hw[0]
-            sx = cfg.model.image.width / sample.raw_image_hw[1]
-            p2_raw = sample.p2.astype(np.float64).copy()
-            p2_raw[0] /= sx
-            p2_raw[1] /= sy
-            pred_mod.write_predictions(
-                pred_dir, sid, det, cfg.model.classes, p2_raw,
-                sample.raw_image_hw, score_threshold=thresh,
-            )
-            n += 1
+        for batch, (chunk, samples) in prefetch:
+            det_b = jax.tree.map(np.asarray, self._eval_fn(params, batch))
+            for i, sid in enumerate(chunk):
+                det = jax.tree.map(lambda x: x[i], det_b)
+                sample = samples[i]
+                # predictions are written in RAW image coords: rescale P2 back
+                sy = cfg.model.image.height / sample.raw_image_hw[0]
+                sx = cfg.model.image.width / sample.raw_image_hw[1]
+                p2_raw = sample.p2.astype(np.float64).copy()
+                p2_raw[0] /= sx
+                p2_raw[1] /= sy
+                pred_mod.write_predictions(
+                    pred_dir, sid, det, cfg.model.classes, p2_raw,
+                    sample.raw_image_hw, score_threshold=thresh,
+                )
+                n += 1
         dt = time.time() - t0
 
         # image summary: first val frame with drawn predictions (reference:
@@ -116,11 +136,17 @@ class Evaluator:
 
         gt_dir = os.path.join(self.dataset.base, "label_2")
         ap = self._run_ap(gt_dir, pred_dir)
+        fps = n / max(dt, 1e-9)
+        print(
+            f"[evaluator] step {step}: {n} frames in {dt:.1f}s = {fps:.1f} "
+            f"fps (batch {bsz}, incl. host IO), AP backend: {self._ap_backend}"
+        )
         result = {
             "step": step,
             "num_frames": n,
             "seconds": dt,
-            "frames_per_sec": n / max(dt, 1e-9),
+            "frames_per_sec": fps,
+            "ap_backend": self._ap_backend,
             "ap": ap,
         }
         flat = {"eval_fps": result["frames_per_sec"]}
@@ -152,15 +178,29 @@ class Evaluator:
         self.summary.image(step, f"predictions/{sid}", out)
 
     def _run_ap(self, gt_dir: str, pred_dir: str):
+        """Native C++ AP when built, numpy oracle otherwise — and say WHICH
+        ran: a silently switched metric backend mid-experiment is the worst
+        kind of drift, so the fallback is always logged and the backend name
+        is recorded in each eval_<step>.json."""
+
         try:
             from sparse_pooling_tpu.native import kitti_eval
 
             if kitti_eval.available():
+                self._ap_backend = "native_cpp"
                 return kitti_eval.evaluate_dirs(
                     gt_dir, pred_dir, self.cfg.model.classes
                 )
-        except Exception:
-            pass
+            print(
+                "[evaluator] native kitti_eval .so not built "
+                "(run make in native/kitti_eval); using numpy AP oracle"
+            )
+        except Exception as e:
+            print(
+                f"[evaluator] native AP evaluator FAILED ({e!r}); "
+                "falling back to the numpy AP oracle"
+            )
+        self._ap_backend = "numpy_oracle"
         return metrics_mod.evaluate_dirs(gt_dir, pred_dir, self.cfg.model.classes)
 
     def _params_template(self):

@@ -187,6 +187,9 @@ class Trainer:
         batch_sharding = (
             mesh_mod.batch_sharding(self.mesh) if self.mesh is not None else None
         )
+        writer = ckpt_mod.CheckpointWriter(
+            self.ckpt_dir, keep=cfg.train.max_checkpoints_to_keep
+        )
         while step < max_steps:
             host_iter = self.dataset.batches(bsz, epoch, augment=True)
             prefetch = DevicePrefetcher(
@@ -213,13 +216,11 @@ class Trainer:
                         f"cls={metrics['cls']:.4f} fps={rate:.1f}"
                     )
                 if step % cfg.train.checkpoint_interval == 0 or step >= max_steps:
-                    ckpt_mod.save(
-                        self.ckpt_dir, step,
-                        {"params": params, "opt_state": opt_state},
-                        keep=cfg.train.max_checkpoints_to_keep,
-                    )
+                    # async: serialization overlaps the next steps
+                    writer.save(step, {"params": params, "opt_state": opt_state})
                 if step >= max_steps:
                     break
             epoch += 1
 
+        writer.close()  # flush in-flight saves before handing state back
         return TrainState(params, opt_state, step, rng)

@@ -121,6 +121,32 @@ def test_box_4c_round_trip():
     assert dry.max() < 1e-5
 
 
+def test_box_8c_offsets_round_trip():
+    """box_8c encode/decode: zero offsets reproduce the proposal; encoding
+    a GT against a proposal and decoding recovers the GT box."""
+
+    prop = jnp.array([[1.0, 1.65, 20.0, 3.8, 1.6, 1.5, 0.2]])
+    gt = jnp.array([[1.4, 1.60, 20.6, 3.9, 1.7, 1.6, 0.35]])
+    pc = encoders.box_3d_to_corners(prop)
+    gc = encoders.box_3d_to_corners(gt)
+
+    zero = encoders.box_8c_to_offsets(pc, pc)
+    np.testing.assert_allclose(np.asarray(zero), 0.0, atol=1e-7)
+    back_prop = np.asarray(encoders.box_8c_to_box_3d(pc))
+    np.testing.assert_allclose(back_prop, np.asarray(prop), atol=1e-5)
+
+    off = encoders.box_8c_to_offsets(pc, gc)
+    dec_corners = encoders.offsets_to_box_8c(pc, off)
+    np.testing.assert_allclose(np.asarray(dec_corners), np.asarray(gc), atol=1e-5)
+    back_gt = np.asarray(encoders.box_8c_to_box_3d(dec_corners))
+    np.testing.assert_allclose(back_gt[:, :6], np.asarray(gt)[:, :6], atol=1e-5)
+    dry = abs(((back_gt[0, 6] - 0.35) + np.pi / 2) % np.pi - np.pi / 2)
+    assert dry < 1e-5
+    # flat 24-d offsets (the head's output layout) decode identically
+    dec_flat = encoders.offsets_to_box_8c(pc, off.reshape(1, 24))
+    np.testing.assert_allclose(np.asarray(dec_flat), np.asarray(gc), atol=1e-5)
+
+
 def test_box_4c_invariant_to_plane_scale():
     """An unnormalized planes.txt entry must not scale decoded heights: the
     encoders normalize the plane to a unit normal internally."""

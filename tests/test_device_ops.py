@@ -150,6 +150,66 @@ def test_sparse_pool_coo_rows_sorted_invariant(kitti_root):
         assert (corr.vals[corr.nnz :] == 0).all()
 
 
+def test_batch_native_builders_match_per_sample(kitti_root):
+    """The batch-flattened voxelizer / COO builder must reproduce the
+    per-sample builders exactly (they are the parity-tested oracles)."""
+
+    from sparse_pooling_tpu.ops.bev_device import (
+        bev_maps_from_points,
+        bev_maps_from_points_batch,
+    )
+    from sparse_pooling_tpu.ops.sparse_build import build_coo_device
+
+    ext, bev_cfg = AreaExtents(), BevConfig()
+    img_cfg, sp_cfg = ImageConfig(), SparsePoolConfig(max_points=2048)
+    r = np.random.RandomState(0)
+    b, p = 3, 2048
+    pts = np.zeros((b, p, 3), np.float32)
+    msk = np.zeros((b, p), bool)
+    for i in range(b):
+        n = 1200 + 100 * i
+        pts[i, :n, 0] = r.uniform(-30, 30, n)
+        pts[i, :n, 1] = r.uniform(0.5, 1.8, n)
+        pts[i, :n, 2] = r.uniform(1, 68, n)
+        msk[i, :n] = True
+    planes = np.tile(np.array([0.0, -1.0, 0.0, 1.65], np.float32), (b, 1))
+    planes[1, 3] = 1.55
+    p2 = np.tile(
+        np.array(
+            [[700.0, 0, 620, 40], [0, 700.0, 190, 2], [0, 0, 1, 0]], np.float32
+        ),
+        (b, 1, 1),
+    )
+    p2[2, 0, 2] = 600.0
+
+    got = np.asarray(
+        bev_maps_from_points_batch(
+            jnp.array(pts), jnp.array(msk), jnp.array(planes), ext, bev_cfg
+        )
+    )
+    for i in range(b):
+        want = np.asarray(
+            bev_maps_from_points(
+                jnp.array(pts[i]), jnp.array(msk[i]), jnp.array(planes[i]),
+                ext, bev_cfg,
+            )
+        )
+        np.testing.assert_allclose(got[i], want, atol=1e-6)
+
+    mb_b, mf_b = build_coo_device(
+        jnp.array(pts), jnp.array(msk), jnp.array(p2), ext, bev_cfg, img_cfg, sp_cfg
+    )
+    for i in range(b):
+        mb, mf = build_coo_device(
+            jnp.array(pts[i]), jnp.array(msk[i]), jnp.array(p2[i]),
+            ext, bev_cfg, img_cfg, sp_cfg,
+        )
+        for batched, single in ((mb_b, mb), (mf_b, mf)):
+            np.testing.assert_array_equal(np.asarray(batched.rows[i]), np.asarray(single.rows))
+            np.testing.assert_array_equal(np.asarray(batched.cols[i]), np.asarray(single.cols))
+            np.testing.assert_allclose(np.asarray(batched.vals[i]), np.asarray(single.vals), atol=1e-6)
+
+
 def test_sparse_pool_pallas_interpret_matches_ell(rng):
     s, c, t, k = 640, 16, 520, 4
     x = rng.randn(s, c).astype(np.float32)
@@ -236,5 +296,14 @@ def test_device_coo_builder_matches_host_oracle(kitti_root):
         want = np.asarray(
             sparse_pool_coo(jnp.array(x), jnp.array(host.rows), jnp.array(host.cols), jnp.array(host.vals), t)
         )
-        got = np.asarray(sparse_pool_coo(jnp.array(x), dev.rows, dev.cols, dev.vals, t))
+        # device COO is point-major; flat() expands to the generic layout,
+        # and the point-major pooling op must agree with the flat one
+        r4, c4, v4 = dev.flat()
+        got = np.asarray(sparse_pool_coo(jnp.array(x), r4, c4, v4, t))
         np.testing.assert_allclose(got, want, atol=1e-3)
+        from sparse_pooling_tpu.ops.sparse_pool import sparse_pool_point_major
+
+        got_pm = np.asarray(
+            sparse_pool_point_major(jnp.array(x), dev.rows, dev.cols, dev.vals, t)
+        )
+        np.testing.assert_allclose(got_pm, got, atol=1e-5)

@@ -67,7 +67,7 @@ def test_forward_shapes(setup):
     assert out["rpn_offsets"].shape == (a, 6)
     assert out["proposals"].shape == (p, 6)
     assert out["cls_logits"].shape == (p, cfg.num_classes + 1)
-    assert out["box4c_offsets"].shape == (p, 10)
+    assert out["box_offsets"].shape == (p, 10)
     assert out["orientation"].shape == (p, 2)
     assert bool(jnp.all(jnp.isfinite(out["proposals"])))
 
@@ -180,6 +180,92 @@ def test_strided_roi_grads_finite(setup):
     leaves = jax.tree_util.tree_leaves(grads)
     total = sum(float(jnp.abs(g).sum()) for g in leaves)
     assert np.isfinite(total) and total > 0
+
+
+def test_box_8c_regression_head(setup):
+    """box_rep='box_8c': 24-d head, finite loss with gradient, decodable."""
+
+    import dataclasses
+
+    cfg, ext, model, anchors_static, raw, params = setup
+    cfg8 = dataclasses.replace(
+        cfg, avod=dataclasses.replace(cfg.avod, box_rep="box_8c")
+    )
+    model8 = pl.make_model(cfg8, ext)
+    key = jax.random.PRNGKey(3)
+    params8 = model8.init(
+        {"params": key, "dropout": key},
+        pl.build_model_inputs(raw, anchors_static, jnp.ones((2,), jnp.float32), cfg8, ext),
+        train=False,
+    )
+    out = pl.forward_single(model8, params8, raw, anchors_static, cfg8, ext, train=False)
+    p = cfg8.rpn.eval_nms_size
+    assert out["box_offsets"].shape == (p, 24)
+    det = decode_detections_single(out, raw.ground_plane, cfg8, ext)
+    assert det["boxes_3d"].shape == (1, cfg8.avod.nms_size, 7)
+    finite = np.asarray(jnp.isfinite(det["boxes_3d"]))[np.asarray(det["valid"])]
+    assert finite.all()
+
+    def loss_fn(pp):
+        o = pl.forward_single(model8, pp, raw, anchors_static, cfg8, ext, train=True, rng=key)
+        return loss_mod.detector_loss(
+            o, raw.gt_boxes_3d, raw.gt_valid, raw.gt_classes,
+            raw.ground_plane, key, cfg8, ext,
+        )["total"]
+
+    grads = jax.grad(loss_fn)(params8)
+    total = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(total) and total > 0
+
+
+@pytest.mark.parametrize("ftype,fmethod", [
+    ("early", "concat"), ("late", "mean"), ("deep", "mean"), ("deep", "concat"),
+])
+def test_fusion_depth_axis_forward_and_grads(setup, ftype, fmethod):
+    """Every (fusion_type, fusion_method) combination must produce the same
+    output shapes and carry gradient into BOTH view branches (reference
+    avod_model early/late/deep fusion axis)."""
+
+    import dataclasses
+
+    cfg, ext, model, anchors_static, raw, params = setup
+    cfg2 = dataclasses.replace(
+        cfg, avod=dataclasses.replace(
+            cfg.avod, fusion_type=ftype, fusion_method=fmethod
+        )
+    )
+    model2 = pl.make_model(cfg2, ext)
+    key = jax.random.PRNGKey(3)
+    params2 = model2.init(
+        {"params": key, "dropout": key},
+        pl.build_model_inputs(raw, anchors_static, jnp.ones((2,), jnp.float32), cfg2, ext),
+        train=False,
+    )
+    out = pl.forward_single(model2, params2, raw, anchors_static, cfg2, ext, train=False)
+    p = cfg2.rpn.eval_nms_size
+    assert out["cls_logits"].shape == (p, cfg2.num_classes + 1)
+    assert out["box_offsets"].shape == (p, 10)
+    assert bool(jnp.all(jnp.isfinite(out["cls_logits"])))
+
+    def loss_fn(pp):
+        o = pl.forward_single(model2, pp, raw, anchors_static, cfg2, ext, train=True, rng=key)
+        return loss_mod.detector_loss(
+            o, raw.gt_boxes_3d, raw.gt_valid, raw.gt_classes,
+            raw.ground_plane, key, cfg2, ext,
+        )["total"]
+
+    grads = jax.grad(loss_fn)(params2)
+    gsum = {
+        "/".join(map(str, k)): float(jnp.abs(v).sum())
+        for k, v in jax.tree_util.tree_leaves_with_path(grads)
+    }
+    assert np.isfinite(sum(gsum.values()))
+    assert sum(v for k, v in gsum.items() if "bev_extractor" in k) > 0
+    assert sum(v for k, v in gsum.items() if "img_extractor" in k) > 0
+    if ftype in ("late", "deep"):
+        # per-view FC stacks exist and receive gradient
+        assert sum(v for k, v in gsum.items() if "fc1_v0" in k) > 0
+        assert sum(v for k, v in gsum.items() if "fc1_v1" in k) > 0
 
 
 def test_path_drop_zeroes_branch(setup):

@@ -85,6 +85,8 @@ def test_evaluator_sweep(cfg):
     r = results[-1]
     assert r["num_frames"] == 1
     assert "Car" in r["ap"]
+    # which AP backend scored this sweep is recorded (never silent)
+    assert r["ap_backend"] in ("native_cpp", "numpy_oracle")
     # KITTI txt written
     pred_files = glob.glob(
         os.path.join(ev.workdir, "predictions", "kitti_native_eval", "*", "*", "data", "*.txt")

@@ -108,10 +108,11 @@ def main():
     p_bev = bev_extractor.init(key, bev_in[:1])
     p_img = img_extractor.init(key, img_in[:1])
 
-    fusion = SparsePoolFusion(mid_ch, dt)
-    rows = jnp.array(rng.randint(0, (hb // fs) * (wb // fs), (b, cap)), jnp.int32)
-    cols = jnp.array(rng.randint(0, (hi // fs) * (wi // fs), (b, cap)), jnp.int32)
-    vals = jnp.array(rng.rand(b, cap), jnp.float32)
+    fusion = SparsePoolFusion(mid_ch, dt, pool_channels=cfg.sparse_pool.pool_channels)
+    npts = cap // 4
+    rows = jnp.array(rng.randint(0, (hb // fs) * (wb // fs), (b, npts)), jnp.int32)
+    cols = jnp.array(rng.randint(0, (hi // fs) * (wi // fs), (b, npts, 4)), jnp.int32)
+    vals = jnp.array(rng.rand(b, npts, 4), jnp.float32)
     coo = DeviceCoo(rows, cols, vals, (hb // fs, wb // fs), (hi // fs, wi // fs))
     p_fus = fusion.init(key, bev_mid, img_mid, coo)
 
@@ -136,10 +137,17 @@ def main():
     )
     stages["bev_encode"] = (lambda p, x: bev_extractor.apply(p, x, method="encode"), (p_bev, bev_in))
     stages["img_encode"] = (lambda p, x: img_extractor.apply(p, x, method="encode"), (p_img, img_in))
+    rows_r = jnp.array(
+        rng.randint(0, (hi // fs) * (wi // fs), (b, npts)), jnp.int32
+    )
+    cols_r = jnp.array(
+        rng.randint(0, (hb // fs) * (wb // fs), (b, npts, 4)), jnp.int32
+    )
+    coo_rev = DeviceCoo(rows_r, cols_r, vals, coo.source_hw, coo.target_hw)
     stages["shpl_fusion_x2"] = (
         lambda p, a_, c_: (
             fusion.apply(p, a_, c_, coo),
-            fusion.apply(p, c_, a_, DeviceCoo(cols, rows, vals, coo.source_hw, coo.target_hw)),
+            fusion.apply(p, c_, a_, coo_rev),
         ),
         (p_fus, bev_mid, img_mid),
     )
