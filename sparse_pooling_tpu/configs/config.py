@@ -155,7 +155,13 @@ class BackboneConfig:
 
     channels: Tuple[int, ...] = (32, 64, 128, 256)  # encoder stage widths
     blocks: Tuple[int, ...] = (2, 2, 3, 3)  # convs per stage
-    out_channels: int = 32  # 1x1 bottleneck on the decoded full-res map
+    out_channels: int = 32  # 1x1 bottleneck on the decoded map
+    # Output stride of the decoded feature maps (power of 2). The reference
+    # decodes to full resolution (1); 2 skips the most expensive decoder
+    # level — full-res convs feed ONLY the stage-2 ROI crops, which sample
+    # a stride-2 lattice nearly as well at half the decode cost. Crop
+    # coordinates account for the stride exactly (cell-center alignment).
+    decode_stride: int = 2
     l2_weight_decay: float = 0.0005
     compute_dtype: str = "bfloat16"  # TPU MXU-native; params stay fp32
 

@@ -108,7 +108,7 @@ def unittest_config(dataset_root: str = "tests/fixtures/kitti") -> PipelineConfi
             mini_batch=MiniBatchConfig(rpn_batch_size=32, avod_batch_size=32),
             backbone=BackboneConfig(
                 channels=(8, 16), blocks=(1, 1), out_channels=8,
-                compute_dtype="float32",
+                compute_dtype="float32", decode_stride=1,
             ),
             rpn=RpnConfig(
                 fusion_channels=32,

@@ -58,10 +58,18 @@ class PyramidDecoder(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.bfloat16
 
+    # stop the pyramid at this output stride (1 = full res). Level k's
+    # output sits at stride 2^k, so decoding stops once 2^level == stride.
+    stop_stride: int = 1
+
     @nn.compact
     def __call__(self, mid, skips):
+        import math
+
+        stop_level = int(math.log2(self.stop_stride))
+        assert 2 ** stop_level == self.stop_stride, "stop_stride must be 2^k"
         x = mid
-        for level in range(len(self.channels) - 2, -1, -1):
+        for level in range(len(self.channels) - 2, stop_level - 1, -1):
             ch = self.channels[level]
             x = nn.ConvTranspose(
                 ch, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype,
@@ -91,10 +99,14 @@ class VggPyramidExtractor(nn.Module):
     blocks: Sequence[int]
     out_channels: int
     dtype: jnp.dtype = jnp.bfloat16
+    decode_stride: int = 1
 
     def setup(self):
         self.encoder = VggEncoder(self.channels, self.blocks, self.dtype)
-        self.decoder = PyramidDecoder(self.channels, self.out_channels, self.dtype)
+        self.decoder = PyramidDecoder(
+            self.channels, self.out_channels, self.dtype,
+            stop_stride=self.decode_stride,
+        )
 
     def encode(self, x) -> Tuple[jnp.ndarray, list]:
         skips = self.encoder(x.astype(self.dtype))

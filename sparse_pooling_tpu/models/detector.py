@@ -159,9 +159,11 @@ class SparsePoolingDetector(nn.Module):
         dt = _dtype(c)
         self.bev_extractor = VggPyramidExtractor(
             c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
+            decode_stride=c.backbone.decode_stride,
         )
         self.img_extractor = VggPyramidExtractor(
             c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
+            decode_stride=c.backbone.decode_stride,
         )
         mid_ch = c.backbone.channels[-1]
         pc = c.sparse_pool.pool_channels
@@ -241,16 +243,19 @@ class SparsePoolingDetector(nn.Module):
 
         s = c.rpn.proposal_roi_size
 
-        def _rpn_patch_rois(feat, boxes_px_full, stride, proj):
-            """avg_pool(stride) -> optional 1x1 channel projection ->
-            centered patch-einsum crop. The projection shrinks the
-            HBM-bound patch gather ~4x (config.rpn.roi_channels)."""
+        ds = c.backbone.decode_stride
 
-            src = nn.avg_pool(feat, (stride, stride), strides=(stride, stride))
+        def _rpn_patch_rois(feat, boxes_px_full, stride, proj):
+            """avg_pool to the ROI stride -> optional 1x1 channel
+            projection -> centered patch-einsum crop. ``feat`` is already
+            at decode_stride; pooling cell j then covers full-res pixels
+            [j*stride, (j+1)*stride), so the full-res px -> pooled coord
+            map is (px - (stride-1)/2) / stride regardless of ds."""
+
+            k = stride // ds
+            src = nn.avg_pool(feat, (k, k), strides=(k, k)) if k > 1 else feat
             if proj is not None and src.shape[-1] > c.rpn.roi_channels:
                 src = proj(src)
-            # avg_pool cell r covers full-res rows [r*st, (r+1)*st): its
-            # center sits at full-res pixel r*st + (st-1)/2
             boxes_pooled = (boxes_px_full - (stride - 1) / 2) / stride
             return crop_and_resize_patch_einsum_px(
                 src, boxes_pooled, (s, s), patch=c.rpn.roi_patch
@@ -301,10 +306,19 @@ class SparsePoolingDetector(nn.Module):
         prop_bev = projection.project_to_bev(proposals, ext)
         prop_img = projection.project_to_image_space(proposals, inputs["p2"], img_hw)
         s2 = c.avod.roi_size
-        bev_rois2 = crop_and_resize_px_batch(
-            bev_feat, prop_bev * bev_px_scale, (s2, s2)
+        # feature maps sit at decode_stride: cell i covers full-res pixels
+        # [i*ds, (i+1)*ds) with center i*ds + (ds-1)/2
+        to_feat = lambda px: (px - (ds - 1) / 2) / ds
+        img_px_scale2 = jnp.array(
+            [img_hw[0] - 1.0, img_hw[1] - 1.0, img_hw[0] - 1.0,
+             img_hw[1] - 1.0], jnp.float32,
         )
-        img_rois2 = crop_and_resize_batch(img_feat, prop_img, (s2, s2))
+        bev_rois2 = crop_and_resize_px_batch(
+            bev_feat, to_feat(prop_bev * bev_px_scale), (s2, s2)
+        )
+        img_rois2 = crop_and_resize_px_batch(
+            img_feat, to_feat(prop_img * img_px_scale2), (s2, s2)
+        )
         cls_logits, box_offsets, orientation = self.stage2_head(
             [bev_rois2.astype(jnp.float32), img_rois2.astype(jnp.float32)],
             train,

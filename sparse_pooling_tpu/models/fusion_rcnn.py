@@ -36,10 +36,7 @@ from sparse_pooling_tpu.models.backbone import VggPyramidExtractor
 from sparse_pooling_tpu.models.detector import Stage2Head, _dtype
 from sparse_pooling_tpu.models.fusion import SparsePoolFusion
 from sparse_pooling_tpu.ops import encoders, projection
-from sparse_pooling_tpu.ops.crop_resize import (
-    crop_and_resize_batch,
-    crop_and_resize_px_batch,
-)
+from sparse_pooling_tpu.ops.crop_resize import crop_and_resize_px_batch
 from sparse_pooling_tpu.ops.nms import top_k_nms_batch
 
 
@@ -113,9 +110,11 @@ class FusionRcnn(nn.Module):
         dt = _dtype(c)
         self.bev_extractor = VggPyramidExtractor(
             c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
+            decode_stride=c.backbone.decode_stride,
         )
         self.img_extractor = VggPyramidExtractor(
             c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
+            decode_stride=c.backbone.decode_stride,
         )
         mid_ch = c.backbone.channels[-1]
         pc = c.sparse_pool.pool_channels
@@ -169,16 +168,25 @@ class FusionRcnn(nn.Module):
         prop_bev = projection.project_to_bev(proposals, ext)
         prop_img = projection.project_to_image_space(proposals, inputs["p2"], img_hw)
         # prop_bev is normalized over the CONTENT extents; crop the padded
-        # map at content-pixel coordinates (see models.detector)
+        # map at content-pixel coordinates (see models.detector), mapped to
+        # the decode_stride lattice by cell-center alignment
         grid_h, grid_w = c.bev.grid_hw(ext)
         bev_px_scale = jnp.array(
             [grid_h - 1.0, grid_w - 1.0, grid_h - 1.0, grid_w - 1.0], jnp.float32
         )
+        img_px_scale = jnp.array(
+            [img_hw[0] - 1.0, img_hw[1] - 1.0, img_hw[0] - 1.0,
+             img_hw[1] - 1.0], jnp.float32,
+        )
+        ds = c.backbone.decode_stride
+        to_feat = lambda px: (px - (ds - 1) / 2) / ds
         rois = (
             crop_and_resize_px_batch(
-                bev_feat, prop_bev * bev_px_scale, (s2, s2)
+                bev_feat, to_feat(prop_bev * bev_px_scale), (s2, s2)
             ).astype(jnp.float32)
-            + crop_and_resize_batch(img_feat, prop_img, (s2, s2)).astype(jnp.float32)
+            + crop_and_resize_px_batch(
+                img_feat, to_feat(prop_img * img_px_scale), (s2, s2)
+            ).astype(jnp.float32)
         ) / 2.0
         # stage-2 regression reuses the 6-d anchor-offset encoding
         cls_logits, box_offsets, orientation = self.stage2_head(rois, train)

@@ -9,8 +9,8 @@ runs on device (SURVEY.md §4.1 hot-loop redesign).
 
 The model is batch-native (see ``models.detector``) and so are the input
 builders: the voxelizer and COO builder flatten the batch into single
-segment ops (vmapped scatters lower poorly on TPU); only the anchor filter
-stays vmapped (top_k/gathers batch fine).
+segment ops and the anchor filter gathers its integral-image corners with
+one flat take (vmapped scatters/gathers lower poorly on TPU).
 """
 
 from __future__ import annotations
@@ -75,6 +75,23 @@ def make_model(cfg: ModelConfig, extents: AreaExtents = AreaExtents()):
     for name, (h, w) in {"bev": (bh, bw), "image": (cfg.image.height, cfg.image.width)}.items():
         if h % s or w % s:
             raise ValueError(f"{name} lattice {h}x{w} not divisible by stride {s}")
+    ds = cfg.backbone.decode_stride
+    if ds < 1 or (ds & (ds - 1)):
+        raise ValueError(f"backbone.decode_stride must be a power of 2, got {ds}")
+    if ds >= cfg.sparse_pool.fusion_stride:
+        raise ValueError(
+            f"backbone.decode_stride {ds} must be below the encoder's final "
+            f"stride {cfg.sparse_pool.fusion_stride}"
+        )
+    for name, st in (
+        ("bev_roi_stride", cfg.rpn.bev_roi_stride),
+        ("img_roi_stride", cfg.rpn.img_roi_stride),
+    ):
+        if st % ds:
+            raise ValueError(
+                f"rpn.{name}={st} must be a multiple of backbone."
+                f"decode_stride={ds} (the ROI source pools the decoded map)"
+            )
     if cfg.rpn.roi_channels and (
         (cfg.rpn.bev_roi_stride > 1) != (cfg.rpn.img_roi_stride > 1)
     ):
@@ -103,10 +120,10 @@ def build_model_inputs_batch(
     """Batch-native input construction.
 
     The voxelizer and COO builder flatten the batch into one segment op
-    each (their vmapped forms lower to XLA's slow batched scatters —
-    measured 3-4x slower at batch 8, tools/profile_micro.py); only the
-    anchor filter (top_k + integral-image gathers, which batch fine) stays
-    vmapped.
+    each, and the anchor filter does its integral-image corner lookups as
+    one flat gather (the vmapped forms lower to XLA's slow batched
+    scatters/gathers — measured 3-4x slower at batch 8,
+    tools/profile_micro.py).
     """
 
     bev_input = bev_device.bev_maps_from_points_batch(
@@ -137,13 +154,11 @@ def build_model_inputs_batch(
         valid = jnp.ones(anchors_frame.shape[:2], bool)
         filtered_anchors, filtered_valid = anchors_frame, valid
     else:
-        filtered = jax.vmap(
-            lambda a, o: anchor_ops.filter_anchors_device(
-                a, o, extents, cfg.bev,
-                max_anchors=cfg.anchors.max_anchors,
-                density_threshold=cfg.anchors.density_threshold,
-            )
-        )(anchors_frame, occupancy)
+        filtered = anchor_ops.filter_anchors_batch(
+            anchors_frame, occupancy, extents, cfg.bev,
+            max_anchors=cfg.anchors.max_anchors,
+            density_threshold=cfg.anchors.density_threshold,
+        )
         filtered_anchors, filtered_valid = filtered.anchors, filtered.valid
 
     return {

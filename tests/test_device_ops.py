@@ -210,6 +210,32 @@ def test_batch_native_builders_match_per_sample(kitti_root):
             np.testing.assert_allclose(np.asarray(batched.vals[i]), np.asarray(single.vals), atol=1e-6)
 
 
+def test_anchor_filter_batch_matches_per_sample(rng):
+    from sparse_pooling_tpu.ops import anchors as anchor_ops
+
+    ext, bev_cfg = AreaExtents(), BevConfig(voxel_size=0.8)
+    h, w = bev_cfg.grid_hw(ext)
+    from sparse_pooling_tpu.configs.config import AnchorConfig
+
+    grid = anchor_ops.generate_anchors_np(
+        AnchorConfig(stride=4.0, max_anchors=64),
+        ext, np.array([0.0, -1.0, 0.0, 1.65]),
+    ).astype(np.float32)
+    occ = (rng.rand(3, h, w) > 0.97).astype(np.float32)
+    anchors_b = jnp.array(np.tile(grid[None], (3, 1, 1)))
+    got = anchor_ops.filter_anchors_batch(
+        anchors_b, jnp.array(occ), ext, bev_cfg, max_anchors=64
+    )
+    for i in range(3):
+        want = anchor_ops.filter_anchors_device(
+            jnp.array(grid), jnp.array(occ[i]), ext, bev_cfg, max_anchors=64
+        )
+        np.testing.assert_array_equal(np.asarray(got.valid[i]), np.asarray(want.valid))
+        np.testing.assert_allclose(
+            np.asarray(got.anchors[i]), np.asarray(want.anchors), atol=1e-6
+        )
+
+
 def test_sparse_pool_pallas_interpret_matches_ell(rng):
     s, c, t, k = 640, 16, 520, 4
     x = rng.randn(s, c).astype(np.float32)

@@ -80,6 +80,7 @@ def main():
     out_ch = cfg.backbone.out_channels
     cap = cfg.sparse_pool.coo_cap
     a_cap = cfg.anchors.max_anchors
+    rc = cfg.rpn.roi_channels or cfg.backbone.out_channels
     nms_size = cfg.rpn.train_nms_size if args.train else cfg.rpn.eval_nms_size
     dt = jnp.bfloat16 if cfg.backbone.compute_dtype == "bfloat16" else jnp.float32
 
@@ -90,8 +91,9 @@ def main():
     img_in = jnp.array(rng.rand(b, hi, wi, 3), jnp.float32)
     bev_mid = jnp.array(rng.rand(b, hb // fs, wb // fs, mid_ch), dt)
     img_mid = jnp.array(rng.rand(b, hi // fs, wi // fs, mid_ch), dt)
-    bev_feat = jnp.array(rng.rand(b, hb, wb, out_ch), dt)
-    img_feat = jnp.array(rng.rand(b, hi, wi, out_ch), dt)
+    ds = cfg.backbone.decode_stride
+    bev_feat = jnp.array(rng.rand(b, hb // ds, wb // ds, out_ch), dt)
+    img_feat = jnp.array(rng.rand(b, hi // ds, wi // ds, out_ch), dt)
 
     def rand_boxes(n, hmax, wmax, span):
         y1 = rng.rand(b, n) * (hmax - span)
@@ -100,10 +102,12 @@ def main():
         return jnp.array(np.stack([y1, x1, y1 + s, x1 + s], -1), jnp.float32)
 
     bev_extractor = VggPyramidExtractor(
-        cfg.backbone.channels, cfg.backbone.blocks, out_ch, dt
+        cfg.backbone.channels, cfg.backbone.blocks, out_ch, dt,
+        decode_stride=cfg.backbone.decode_stride,
     )
     img_extractor = VggPyramidExtractor(
-        cfg.backbone.channels, cfg.backbone.blocks, out_ch, dt
+        cfg.backbone.channels, cfg.backbone.blocks, out_ch, dt,
+        decode_stride=cfg.backbone.decode_stride,
     )
     p_bev = bev_extractor.init(key, bev_in[:1])
     p_img = img_extractor.init(key, img_in[:1])
@@ -118,7 +122,7 @@ def main():
 
     rpn_head = RpnHead(cfg.rpn.fusion_channels, dt)
     s = cfg.rpn.proposal_roi_size
-    rois_rpn = jnp.array(rng.rand(b, a_cap, s, s, out_ch), jnp.float32)
+    rois_rpn = jnp.array(rng.rand(b, a_cap, s, s, rc), jnp.float32)
     p_rpn = rpn_head.init(key, rois_rpn[:, :8])
 
     s2 = cfg.avod.roi_size
@@ -171,29 +175,25 @@ def main():
 
     st = cfg.rpn.bev_roi_stride
     bev_boxes_px = rand_boxes(a_cap, (hb - 4) // max(st, 1), wb // max(st, 1), 6)
+    proj_w = jnp.array(rng.rand(1, 1, out_ch, rc), dt)
 
-    def roi_bev(feat, boxes):
-        if st > 1:
-            import flax.linen as nn
+    def roi_view(feat, boxes, stride):
+        import flax.linen as nn
 
-            src = nn.avg_pool(feat, (st, st), strides=(st, st))
-            return cr.crop_and_resize_patch_einsum_px(src, boxes, (s, s), cfg.rpn.roi_patch)
-        return cr.crop_and_resize_px_batch(feat, boxes, (s, s))
+        k = stride // ds
+        src = nn.avg_pool(feat, (k, k), strides=(k, k)) if k > 1 else feat
+        if rc < out_ch:
+            src = jax.lax.conv_general_dilated(
+                src, proj_w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        return cr.crop_and_resize_patch_einsum_px(src, boxes, (s, s), cfg.rpn.roi_patch)
 
-    stages["roi_rpn_bev"] = (roi_bev, (bev_feat, bev_boxes_px))
+    stages["roi_rpn_bev"] = (lambda f, bx: roi_view(f, bx, st), (bev_feat, bev_boxes_px))
 
     sti = cfg.rpn.img_roi_stride
     img_boxes_px = rand_boxes(a_cap, hi // max(sti, 1), wi // max(sti, 1), 6)
-
-    def roi_img(feat, boxes):
-        if sti > 1:
-            import flax.linen as nn
-
-            src = nn.avg_pool(feat, (sti, sti), strides=(sti, sti))
-            return cr.crop_and_resize_patch_einsum_px(src, boxes, (s, s), cfg.rpn.roi_patch)
-        return cr.crop_and_resize_px_batch(feat, boxes, (s, s))
-
-    stages["roi_rpn_img"] = (roi_img, (img_feat, img_boxes_px))
+    stages["roi_rpn_img"] = (lambda f, bx: roi_view(f, bx, sti), (img_feat, img_boxes_px))
     stages["rpn_head"] = (lambda p, r: rpn_head.apply(p, r), (p_rpn, rois_rpn))
 
     nms_boxes = rand_boxes(a_cap, 1.0, 1.0, 0.05)
@@ -205,8 +205,8 @@ def main():
         (nms_boxes, nms_scores),
     )
 
-    s2_bev_px = rand_boxes(nms_size, hb - 4, wb, 60)
-    s2_img_px = rand_boxes(nms_size, hi, wi, 200)
+    s2_bev_px = rand_boxes(nms_size, (hb - 4) // ds, wb // ds, 60 // ds)
+    s2_img_px = rand_boxes(nms_size, hi // ds, wi // ds, 200 // ds)
     stages["roi_s2_bev"] = (
         lambda f, bx: cr.crop_and_resize_px_batch(f, bx, (s2, s2)), (bev_feat, s2_bev_px)
     )
