@@ -38,7 +38,7 @@ from sparse_pooling_tpu.models.fusion import SparsePoolFusion
 from sparse_pooling_tpu.ops import encoders, projection
 from sparse_pooling_tpu.ops.crop_resize import (
     crop_and_resize_batch,
-    crop_and_resize_patch_einsum_px,
+    crop_and_resize_group_einsum_px,
     crop_and_resize_px_batch,
 )
 from sparse_pooling_tpu.ops.nms import nms_batch, top_k_nms_batch
@@ -245,21 +245,32 @@ class SparsePoolingDetector(nn.Module):
 
         ds = c.backbone.decode_stride
 
+        # class/rotation variants per anchor position: the filter keeps
+        # positions whole (pipeline.build_model_inputs_batch), so anchors
+        # arrive grouped [B, P*V, ...] with the V variants of each position
+        # adjacent and sharing box centers — the grouped crop gathers ONE
+        # source patch per POSITION (descriptors / V; the gather is
+        # descriptor-bound, ROADMAP.md)
+        n_var = len(c.anchors.sizes) * len(c.anchors.rotations)
+
         def _rpn_patch_rois(feat, boxes_px_full, stride, proj):
             """avg_pool to the ROI stride -> optional 1x1 channel
-            projection -> centered patch-einsum crop. ``feat`` is already
-            at decode_stride; pooling cell j then covers full-res pixels
-            [j*stride, (j+1)*stride), so the full-res px -> pooled coord
-            map is (px - (stride-1)/2) / stride regardless of ds."""
+            projection -> group-shared patch-einsum crop. ``feat`` is
+            already at decode_stride; pooling cell j then covers full-res
+            pixels [j*stride, (j+1)*stride), so the full-res px -> pooled
+            coord map is (px - (stride-1)/2) / stride regardless of ds."""
 
             k = stride // ds
             src = nn.avg_pool(feat, (k, k), strides=(k, k)) if k > 1 else feat
             if proj is not None and src.shape[-1] > c.rpn.roi_channels:
                 src = proj(src)
             boxes_pooled = (boxes_px_full - (stride - 1) / 2) / stride
-            return crop_and_resize_patch_einsum_px(
-                src, boxes_pooled, (s, s), patch=c.rpn.roi_patch
+            bsz, a = boxes_pooled.shape[:2]
+            rois = crop_and_resize_group_einsum_px(
+                src, boxes_pooled.reshape(bsz, a // n_var, n_var, 4),
+                (s, s), patch=c.rpn.roi_patch,
             )
+            return rois.reshape(bsz, a, s, s, rois.shape[-1])
 
         if c.rpn.bev_roi_stride > 1:
             bev_rois = _rpn_patch_rois(

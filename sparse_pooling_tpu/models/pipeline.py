@@ -54,6 +54,12 @@ def static_anchor_grid(cfg: ModelConfig, extents: AreaExtents) -> np.ndarray:
     )
 
 
+def anchor_variants(cfg: ModelConfig) -> int:
+    """Class/rotation variants per grid position (the anchor-group width)."""
+
+    return len(cfg.anchors.sizes) * len(cfg.anchors.rotations)
+
+
 def anchors_with_ground_y(anchors_static: jnp.ndarray, plane: jnp.ndarray):
     """Set each anchor's y from the frame's ground plane (device)."""
 
@@ -100,6 +106,13 @@ def make_model(cfg: ModelConfig, extents: AreaExtents = AreaExtents()):
             f"{cfg.rpn.roi_channels} channels; with only one view strided "
             "the RPN mean-fuse would mix mismatched widths — stride both "
             "views, neither, or set roi_channels=0"
+        )
+    if cfg.anchors.max_anchors % (
+        len(cfg.anchors.sizes) * len(cfg.anchors.rotations)
+    ):
+        raise ValueError(
+            f"anchors.max_anchors={cfg.anchors.max_anchors} must be divisible "
+            "by the class x rotation variant count (position-granular filter)"
         )
     if cfg.architecture == "rcnn":
         from sparse_pooling_tpu.models.fusion_rcnn import FusionRcnn
@@ -154,9 +167,13 @@ def build_model_inputs_batch(
         valid = jnp.ones(anchors_frame.shape[:2], bool)
         filtered_anchors, filtered_valid = anchors_frame, valid
     else:
-        filtered = anchor_ops.filter_anchors_batch(
+        # position-granular: kept anchors stay grouped by grid position
+        # (all class/rotation variants adjacent), which lets the RPN ROI
+        # crops share ONE gathered patch per position (detector.py)
+        filtered = anchor_ops.filter_anchor_positions_batch(
             anchors_frame, occupancy, extents, cfg.bev,
             max_anchors=cfg.anchors.max_anchors,
+            variants=anchor_variants(cfg),
             density_threshold=cfg.anchors.density_threshold,
         )
         filtered_anchors, filtered_valid = filtered.anchors, filtered.valid

@@ -55,6 +55,14 @@ def generate_anchors_np(
     """
 
     centers = grid_anchor_centers_xz(extents, cfg.stride)
+    # RANGE-PRIORITIZED ORDER: positions sorted by distance from the sensor,
+    # class/rotation variants adjacent per position. The filter compacts
+    # nonempty anchors in ARRAY order under a static cap (see
+    # ``filter_anchors_batch``), so when a dense scene overflows the cap the
+    # truncation drops the FARTHEST anchors — never a whole class (the old
+    # class-major layout would have) and never a random spatial band.
+    order = np.argsort(centers[:, 0] ** 2 + centers[:, 1] ** 2, kind="stable")
+    centers = centers[order]
     a, b, c, d = ground_plane
     out = []
     for cls_idx, (l, w, h) in enumerate(cfg.sizes):
@@ -75,7 +83,8 @@ def generate_anchors_np(
                 axis=1,
             )
             out.append(arr)
-    return np.concatenate(out, axis=0)
+    stacked = np.stack(out, axis=1)  # [positions, cls*rot, 8] position-major
+    return stacked.reshape(-1, stacked.shape[-1])
 
 
 class FilteredAnchors(NamedTuple):
@@ -88,6 +97,33 @@ class FilteredAnchors(NamedTuple):
 def _integral_image_2d(grid: jnp.ndarray) -> jnp.ndarray:
     ii = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)
     return jnp.pad(ii, ((1, 0), (1, 0)))
+
+
+def _first_k_true_batch(flags: jnp.ndarray, k: int):
+    """Per row, the indices of the first ``k`` True entries in array order.
+
+    Vectorized binary search over the running count — 16 flat gathers of
+    [B, k] instead of the full [B, N] sort ``lax.top_k`` lowers to (the
+    sort measured ~2.3 ms/frame at RPN scale; this is ~0.1).
+    Returns (idx [B, k] int32, valid [B, k] bool).
+    """
+
+    b, n = flags.shape
+    cs = jnp.cumsum(flags.astype(jnp.int32), axis=1)  # nondecreasing per row
+    targets = jnp.arange(1, k + 1, dtype=jnp.int32)
+    flat = cs.reshape(-1)
+    boff = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+    lo = jnp.zeros((b, k), jnp.int32)
+    hi = jnp.full((b, k), n - 1, jnp.int32)
+    steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    for _ in range(steps):  # static trip count; answer stays in [lo, hi]
+        mid = (lo + hi) >> 1
+        v = jnp.take(flat, (mid + boff).reshape(-1)).reshape(b, k)
+        ge = v >= targets[None, :]
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, jnp.minimum(mid + 1, n - 1))
+    valid = targets[None, :] <= cs[:, -1:]
+    return jnp.where(valid, hi, 0), valid
 
 
 @functools.partial(
@@ -104,32 +140,19 @@ def filter_anchors_device(
     """Keep up to ``max_anchors`` anchors whose footprint holds points.
 
     Reference: ``anchor_filter.get_empty_anchor_filter`` (integral-image
-    occupancy query over the anchor's BEV footprint). Selection is by
-    occupancy count via top_k, which keeps every non-empty anchor whenever
-    fewer than ``max_anchors`` are non-empty (the common case, matching the
-    reference's keep-all behavior).
+    occupancy query over the anchor's BEV footprint). The reference keeps
+    ALL non-empty anchors (dynamic count); the static cap keeps the first
+    ``max_anchors`` non-empty anchors in array order, and the grid is
+    range-sorted (``generate_anchors_np``), so an overflowing dense scene
+    truncates the FARTHEST anchors — the common case (fewer non-empty than
+    the cap) keeps the reference's exact set.
     """
 
-    ii = _integral_image_2d(occupancy.astype(jnp.float32))
-    h, w = occupancy.shape
-
-    x, z = anchors[:, 0], anchors[:, 2]
-    dim_x, dim_z = anchors[:, 3], anchors[:, 5]
-    vs = bev_cfg.voxel_size
-    c0 = jnp.clip(jnp.floor((x - dim_x / 2 - extents.x_min) / vs), 0, w).astype(jnp.int32)
-    c1 = jnp.clip(jnp.ceil((x + dim_x / 2 - extents.x_min) / vs), 0, w).astype(jnp.int32)
-    r0 = jnp.clip(jnp.floor((z - dim_z / 2 - extents.z_min) / vs), 0, h).astype(jnp.int32)
-    r1 = jnp.clip(jnp.ceil((z + dim_z / 2 - extents.z_min) / vs), 0, h).astype(jnp.int32)
-
-    counts = ii[r1, c1] - ii[r0, c1] - ii[r1, c0] + ii[r0, c0]
-    nonempty = counts >= density_threshold
-
-    score = jnp.where(nonempty, counts, -1.0)
-    top_scores, top_idx = jax.lax.top_k(score, max_anchors)
-    return FilteredAnchors(
-        anchors=jnp.take(anchors, top_idx, axis=0),
-        valid=top_scores >= density_threshold,
+    res = filter_anchors_batch(
+        anchors[None], occupancy[None], extents, bev_cfg,
+        max_anchors=max_anchors, density_threshold=density_threshold,
     )
+    return FilteredAnchors(anchors=res.anchors[0], valid=res.valid[0])
 
 
 def filter_anchors_batch(
@@ -142,7 +165,11 @@ def filter_anchors_batch(
 ) -> FilteredAnchors:
     """Batch-native anchor filter: the four integral-image corner lookups
     become ONE flat gather with per-sample offsets (the vmapped form lowers
-    to XLA's batched gather — measured ~6 ms/batch at batch 8)."""
+    to XLA's batched gather — measured ~6 ms/batch at batch 8), and the
+    static-cap compaction is a binary search over the nonempty running
+    count instead of ``lax.top_k``'s full sort (~20x cheaper; see
+    ``_first_k_true_batch``). Overflow semantics: range-sorted grid order
+    (see ``filter_anchors_device``)."""
 
     b, n, _ = anchors.shape
     ii = _integral_image_2d_batch(occupancy.astype(jnp.float32))  # [B,H+1,W+1]
@@ -163,17 +190,85 @@ def filter_anchors_batch(
     counts = take(r1, c1) - take(r0, c1) - take(r1, c0) + take(r0, c0)
     nonempty = counts >= density_threshold
 
-    score = jnp.where(nonempty, counts, -1.0)
-    top_scores, top_idx = jax.lax.top_k(score, max_anchors)  # batched
-    return FilteredAnchors(
-        anchors=jnp.take_along_axis(anchors, top_idx[..., None], axis=1),
-        valid=top_scores >= density_threshold,
-    )
+    top_idx, valid = _first_k_true_batch(nonempty, max_anchors)
+    aoff = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+    picked = jnp.take(
+        anchors.reshape(b * n, anchors.shape[-1]),
+        (top_idx + aoff).reshape(-1),
+        axis=0,
+    ).reshape(b, max_anchors, anchors.shape[-1])
+    return FilteredAnchors(anchors=picked, valid=valid)
 
 
 def _integral_image_2d_batch(grid: jnp.ndarray) -> jnp.ndarray:
     ii = jnp.cumsum(jnp.cumsum(grid, axis=1), axis=2)
     return jnp.pad(ii, ((0, 0), (1, 0), (1, 0)))
+
+
+def filter_anchor_positions_batch(
+    anchors: jnp.ndarray,  # [B, N, 8], position-major (generate_anchors_np)
+    occupancy: jnp.ndarray,  # [B, H, W]
+    extents: AreaExtents,
+    bev_cfg: BevConfig,
+    max_anchors: int,
+    variants: int,
+    density_threshold: int = 1,
+) -> FilteredAnchors:
+    """POSITION-granular filter: keep whole class/rotation groups together.
+
+    The anchor array is position-major with ``variants`` = n_classes x
+    n_rotations entries per grid position (``generate_anchors_np``). A
+    position is kept when ANY of its variants' footprints holds points;
+    kept positions carry all their variants, so downstream ROI gathers can
+    share one source patch per position (``crop_and_resize_group_einsum_px``
+    — the variants share box centers). Per-ANCHOR validity still reflects
+    each variant's own footprint, so scoring masks match the per-anchor
+    filter. Keeps max_anchors // variants positions, first-k in the
+    range-sorted grid order (same truncation semantics as
+    ``filter_anchors_batch``).
+    """
+
+    b, n, _ = anchors.shape
+    if n % variants:
+        raise ValueError(f"anchor count {n} not divisible by variants {variants}")
+    if max_anchors % variants:
+        raise ValueError(
+            f"max_anchors {max_anchors} not divisible by variants {variants}"
+        )
+    n_pos = n // variants
+    max_pos = max_anchors // variants
+
+    ii = _integral_image_2d_batch(occupancy.astype(jnp.float32))  # [B,H+1,W+1]
+    h1, w1 = ii.shape[1], ii.shape[2]
+    h, w = h1 - 1, w1 - 1
+
+    x, z = anchors[..., 0], anchors[..., 2]
+    dim_x, dim_z = anchors[..., 3], anchors[..., 5]
+    vs = bev_cfg.voxel_size
+    c0 = jnp.clip(jnp.floor((x - dim_x / 2 - extents.x_min) / vs), 0, w).astype(jnp.int32)
+    c1 = jnp.clip(jnp.ceil((x + dim_x / 2 - extents.x_min) / vs), 0, w).astype(jnp.int32)
+    r0 = jnp.clip(jnp.floor((z - dim_z / 2 - extents.z_min) / vs), 0, h).astype(jnp.int32)
+    r1 = jnp.clip(jnp.ceil((z + dim_z / 2 - extents.z_min) / vs), 0, h).astype(jnp.int32)
+
+    flat = ii.reshape(b * h1 * w1)
+    boff = (jnp.arange(b, dtype=jnp.int32) * (h1 * w1))[:, None]
+    take = lambda r, c: jnp.take(flat, (boff + r * w1 + c).reshape(-1)).reshape(b, n)
+    counts = take(r1, c1) - take(r0, c1) - take(r1, c0) + take(r0, c0)
+    nonempty = (counts >= density_threshold).reshape(b, n_pos, variants)
+    pos_nonempty = jnp.any(nonempty, axis=-1)  # [B, n_pos]
+
+    pos_idx, pos_valid = _first_k_true_batch(pos_nonempty, max_pos)
+
+    poff = (jnp.arange(b, dtype=jnp.int32) * n_pos)[:, None]
+    flat_pos = (pos_idx + poff).reshape(-1)
+    picked = jnp.take(
+        anchors.reshape(b * n_pos, variants * anchors.shape[-1]), flat_pos, axis=0
+    ).reshape(b, max_anchors, anchors.shape[-1])
+    picked_nonempty = jnp.take(
+        nonempty.reshape(b * n_pos, variants), flat_pos, axis=0
+    ).reshape(b, max_pos, variants)
+    valid = (picked_nonempty & pos_valid[..., None]).reshape(b, max_anchors)
+    return FilteredAnchors(anchors=picked, valid=valid)
 
 
 def anchors_per_frame(cfg: AnchorConfig, extents: AreaExtents) -> int:

@@ -378,6 +378,154 @@ def crop_and_resize_patch_einsum_px(
     )
 
 
+def _group_starts(boxes_px, h, w, crop_hw, patch):
+    """Shared window starts for GROUPED boxes [B, P, V, 4]: one window per
+    (sample, position), centered on the mean of the V variants' midpoints.
+
+    All V variants of a grid anchor position share the box CENTER (the
+    rotations/classes only change the span), so in the BEV view the shared
+    window equals every variant's own centered window; in the image view the
+    projected mids differ by a few px and the shared window is the group
+    centroid (samples clamp to the window edge like the ungrouped path).
+    """
+
+    b, p, v, _ = boxes_px.shape
+    ys, xs = jax.vmap(
+        lambda bx: _sample_grid(bx, h, w, crop_hw)
+    )(boxes_px.reshape(b, p * v, 4))
+    ys = ys.reshape(b, p, v, -1)
+    xs = xs.reshape(b, p, v, -1)
+    y_mid = 0.5 * (ys[..., 0] + ys[..., -1]).mean(axis=-1)  # [B, P]
+    x_mid = 0.5 * (xs[..., 0] + xs[..., -1]).mean(axis=-1)
+    y_start = jnp.clip(
+        jnp.floor(y_mid - (patch - 2) / 2).astype(jnp.int32), 0, max(h - patch, 0)
+    )
+    x_start = jnp.clip(
+        jnp.floor(x_mid - (patch - 2) / 2).astype(jnp.int32), 0, max(w - patch, 0)
+    )
+    return ys, xs, y_start, x_start
+
+
+def _group_coords(boxes_grouped, h, w, crop_hw, patch):
+    """Effective (window-clamped) sample coords of the grouped patch crop,
+    FLATTENED to [B, P*V, ch|cw] so ``_bilinear_bwd`` can serve as its
+    backward (the grouped crop equals bilinear sampling at these coords)."""
+
+    b, p, v, _ = boxes_grouped.shape
+    ys, xs, y_start, x_start = _group_starts(boxes_grouped, h, w, crop_hw, patch)
+    py, px = min(patch, h), min(patch, w)
+    ys_eff = y_start[..., None, None] + jnp.clip(
+        ys - y_start[..., None, None], 0.0, py - 1.0
+    )
+    xs_eff = x_start[..., None, None] + jnp.clip(
+        xs - x_start[..., None, None], 0.0, px - 1.0
+    )
+    return ys_eff.reshape(b, p * v, -1), xs_eff.reshape(b, p * v, -1)
+
+
+def _group_einsum_impl(images, boxes_grouped, crop_hw, patch):
+    b, h, w, c = images.shape
+    _, p, v, _ = boxes_grouped.shape
+    ch, cw = crop_hw
+    ys, xs, y_start, x_start = _group_starts(boxes_grouped, h, w, crop_hw, patch)
+
+    bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, p))
+    starts = jnp.stack([bidx, y_start, x_start], axis=-1).reshape(-1, 3)
+    py, px = min(patch, h), min(patch, w)
+    patches = jax.lax.gather(
+        images,
+        starts,
+        dimension_numbers=jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2),
+        ),
+        slice_sizes=(1, py, px, c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(b, p, py, px, c)
+
+    rel_y = jnp.clip(ys - y_start[..., None, None], 0.0, py - 1.0)  # [B,P,V,ch]
+    rel_x = jnp.clip(xs - x_start[..., None, None], 0.0, px - 1.0)
+    grid = jnp.arange(py, dtype=rel_y.dtype)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(rel_y[..., None] - grid))  # [B,P,V,ch,py]
+    grid_x = jnp.arange(px, dtype=rel_x.dtype)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rel_x[..., None] - grid_x))  # [B,P,V,cw,px]
+
+    wy = wy.astype(images.dtype).reshape(b, p, v * ch, py)
+    wx = wx.astype(images.dtype)
+    # contract the patch rows once per position for ALL variants (the MXU
+    # work grows by V but stays trivial; the descriptor-bound gather above
+    # is 1/V of the ungrouped path's)
+    t = jax.lax.dot_general(
+        wy, patches.reshape(b, p, py, px * c),
+        (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=images.dtype,
+    ).reshape(b, p, v, ch, px, c)
+    out = jax.lax.dot_general(
+        wx, t,
+        (((4,), (4,)), ((0, 1, 2), (0, 1, 2))),
+        preferred_element_type=images.dtype,
+    )  # [B,P,V,cw,ch,C]
+    return out.transpose(0, 1, 2, 4, 3, 5)  # -> [B,P,V,ch,cw,C]
+
+
+@functools.cache
+def _group_with_vjp(crop_hw, patch):
+    """custom_vjp for the grouped patch crop (same rationale as
+    ``_patch_with_vjp``; backward reuses ``_bilinear_bwd`` on the flattened
+    effective coords)."""
+
+    @jax.custom_vjp
+    def crop(images, boxes_grouped):
+        return _group_einsum_impl(images, boxes_grouped, crop_hw, patch)
+
+    def fwd(images, boxes_grouped):
+        return _group_einsum_impl(images, boxes_grouped, crop_hw, patch), (
+            images,
+            boxes_grouped,
+        )
+
+    def bwd(res, g):
+        images, boxes_grouped = res
+        b, p, v, _ = boxes_grouped.shape
+        _, h, w, _ = images.shape
+        ch, cw = crop_hw
+        coords_fn = lambda bx: _group_coords(
+            bx.reshape(b, p, v, 4), h, w, crop_hw, patch
+        )
+        g_images, g_boxes = _bilinear_bwd(
+            images,
+            boxes_grouped.reshape(b, p * v, 4),
+            g.reshape(b, p * v, ch, cw, -1),
+            coords_fn,
+            crop_hw,
+        )
+        return g_images, g_boxes.reshape(b, p, v, 4)
+
+    crop.defvjp(fwd, bwd)
+    return crop
+
+
+def crop_and_resize_group_einsum_px(
+    images: jnp.ndarray, boxes_grouped: jnp.ndarray, crop_hw, patch: int = 8
+) -> jnp.ndarray:
+    """Group-shared patch crop: ONE gather descriptor per anchor POSITION.
+
+    ``boxes_grouped`` is [B, P, V, 4] pixel boxes where the V variants of a
+    position (class/rotation pairs of a grid anchor) share their center.
+    Gathers a single [patch, patch, C] window per position and evaluates
+    every variant's ch x cw bilinear grid inside it — descriptors / V vs
+    ``crop_and_resize_patch_einsum_px`` (the gather is descriptor-bound, so
+    this is ~V x cheaper at equal exactness for span <= patch-2 boxes whose
+    variants share mids; see ``_group_starts`` for the image-view caveat).
+    Returns [B, P, V, ch, cw, C].
+    """
+
+    return _group_with_vjp((int(crop_hw[0]), int(crop_hw[1])), int(patch))(
+        images, boxes_grouped
+    )
+
+
 def crop_and_resize_numpy(image, boxes, crop_hw):
     """Host oracle twin (identical sampling math in float64)."""
 

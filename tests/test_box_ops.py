@@ -338,6 +338,96 @@ def test_patch_einsum_oversized_box_centered():
     assert got.max() <= float(img[0, 5, 7, 0]) + 1e-5
 
 
+def test_group_einsum_matches_per_anchor_crops(rng):
+    """The group-shared patch crop equals the per-anchor gather crop when
+    the group's variants share centers and spans fit patch-2 (the BEV RPN
+    case: rotation/class variants of one grid position)."""
+
+    img = rng.rand(2, 40, 48, 8).astype(np.float32)
+    p, v = 12, 2
+    r = np.random.RandomState(3)
+    cy = 4 + r.rand(2, p) * 30
+    cx = 4 + r.rand(2, p) * 38
+    spans_y = r.rand(2, p, v) * 6.0  # span <= patch-2 = 6
+    spans_x = r.rand(2, p, v) * 6.0
+    b = np.zeros((2, p, v, 4), np.float32)
+    b[..., 0] = cy[..., None] - spans_y / 2
+    b[..., 1] = cx[..., None] - spans_x / 2
+    b[..., 2] = cy[..., None] + spans_y / 2
+    b[..., 3] = cx[..., None] + spans_x / 2
+    want = np.asarray(
+        crop_resize.crop_and_resize_px_batch(
+            jnp.array(img), jnp.array(b.reshape(2, p * v, 4)), (3, 3)
+        )
+    ).reshape(2, p, v, 3, 3, 8)
+    got = np.asarray(
+        crop_resize.crop_and_resize_group_einsum_px(
+            jnp.array(img), jnp.array(b), (3, 3), patch=8
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_group_einsum_grads_match_gather_crop(rng):
+    """Group-crop custom VJP == gather-crop grads for fitting shared-center
+    groups (same function, different code path)."""
+
+    img = rng.rand(1, 24, 24, 4).astype(np.float32)
+    b = np.array(
+        [[[[3.2, 4.1, 8.9, 9.7], [4.3, 5.2, 7.8, 8.6]]]], np.float32
+    )  # [1, 1, 2, 4], both boxes centered ~(6.05, 6.9)
+
+    def loss_group(i, bx):
+        out = crop_resize.crop_and_resize_group_einsum_px(i, bx, (3, 3), patch=12)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    def loss_gather(i, bx):
+        out = crop_resize.crop_and_resize_px_batch(
+            i, bx.reshape(1, 2, 4), (3, 3)
+        ).reshape(1, 1, 2, 3, 3, 4)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    gi_p, gb_p = jax.grad(loss_group, argnums=(0, 1))(jnp.array(img), jnp.array(b))
+    gi_g, gb_g = jax.grad(loss_gather, argnums=(0, 1))(jnp.array(img), jnp.array(b))
+    np.testing.assert_allclose(np.asarray(gi_p), np.asarray(gi_g), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_g), atol=1e-4)
+
+
+def test_position_filter_keeps_variant_groups(rng):
+    """Position-granular filter: kept positions carry every variant, the
+    per-anchor valid mask matches each variant's own footprint occupancy,
+    and the VALID anchor set equals the per-anchor filter's (no overflow)."""
+
+    cfg = AnchorConfig(sizes=((4.0, 2.0, 1.5),), stride=4.0)
+    ext = AreaExtents()
+    bev_cfg = BevConfig(voxel_size=0.8)
+    grid = anch.generate_anchors_np(cfg, ext, PLANE).astype(np.float32)
+    n = grid.shape[0]
+    h, w = bev_cfg.grid_hw(ext)
+    occ = (rng.rand(2, h, w) > 0.995).astype(np.float32)
+    anchors_b = jnp.array(np.tile(grid[None], (2, 1, 1)))
+
+    got = anch.filter_anchor_positions_batch(
+        anchors_b, jnp.array(occ), ext, bev_cfg, max_anchors=n, variants=2
+    )
+    ref = anch.filter_anchors_batch(
+        anchors_b, jnp.array(occ), ext, bev_cfg, max_anchors=n
+    )
+    key = lambda a: {tuple(np.round(row, 3)) for row in a}
+    for i in range(2):
+        got_valid = np.asarray(got.anchors[i])[np.asarray(got.valid[i])]
+        ref_valid = np.asarray(ref.anchors[i])[np.asarray(ref.valid[i])]
+        assert key(got_valid) == key(ref_valid)
+        # groups whole: for every valid anchor its position partner is
+        # present in the kept array (valid or not)
+        kept = key(np.asarray(got.anchors[i]))
+        for row in got_valid:
+            partner = row.copy()
+            partner[3], partner[5] = row[5], row[3]  # rotation partner
+            partner[6] = 1.0 - row[6]
+            assert tuple(np.round(partner, 3)) in kept
+
+
 # ---------------------------------------------------------------- losses
 
 def test_smooth_l1_golden():

@@ -45,13 +45,13 @@ def timed(body, args, n=10):
     return (time.perf_counter() - t0) / n
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--stages", default="")
-    ap.add_argument("--train", action="store_true", help="profile train-size shapes")
-    args = ap.parse_args()
+def build_stages(b: int, train: bool):
+    """Stage-name -> (body, args) table at batch size ``b``.
+
+    ``train`` switches the proposal count to the train-time NMS size (the
+    shapes the backward pass sees). Shared by the inference profiler below
+    and tools/profile_train.py's fwd+bwd table.
+    """
 
     import jax
     import jax.numpy as jnp
@@ -67,7 +67,6 @@ def main():
     from sparse_pooling_tpu.ops.nms import nms_batch, top_k_nms_batch
     from sparse_pooling_tpu.ops.sparse_build import DeviceCoo
 
-    b = args.batch
     cfg = cars_pyramid_config().model
     ext = AreaExtents()
     rng = np.random.RandomState(0)
@@ -81,7 +80,7 @@ def main():
     cap = cfg.sparse_pool.coo_cap
     a_cap = cfg.anchors.max_anchors
     rc = cfg.rpn.roi_channels or cfg.backbone.out_channels
-    nms_size = cfg.rpn.train_nms_size if args.train else cfg.rpn.eval_nms_size
+    nms_size = cfg.rpn.train_nms_size if train else cfg.rpn.eval_nms_size
     dt = jnp.bfloat16 if cfg.backbone.compute_dtype == "bfloat16" else jnp.float32
 
     frames = [_synthetic_raw(cfg, ext, n_points=16384, seed=i) for i in range(b)]
@@ -138,6 +137,37 @@ def main():
             jnp.ones((b, 2), jnp.float32), cfg, ext,
         ),
         (batch,),
+    )
+    # inputs sub-stages (sum ~= inputs; each is a piece of the builder)
+    from sparse_pooling_tpu.ops import anchors as anchor_ops
+    from sparse_pooling_tpu.ops import bev_device, sparse_build
+
+    stages["in_voxelize"] = (
+        lambda bt: bev_device.bev_maps_from_points_batch(
+            bt.points, bt.points_mask, bt.ground_plane, ext, cfg.bev
+        ),
+        (batch,),
+    )
+    stages["in_coo"] = (
+        lambda bt: sparse_build.build_coo_device(
+            bt.points, bt.points_mask, bt.p2, ext, cfg.bev, cfg.image,
+            cfg.sparse_pool,
+        ),
+        (batch,),
+    )
+    anchors_grid = jnp.array(pl.static_anchor_grid(cfg, ext))
+    occ = jnp.array(
+        (rng.rand(b, *cfg.bev.grid_hw(ext)) < 0.02).astype(np.float32)
+    )
+    anchors_framed = jax.vmap(
+        lambda g: pl.anchors_with_ground_y(anchors_grid, g)
+    )(batch.ground_plane)
+    stages["in_filter"] = (
+        lambda a_, o_: anchor_ops.filter_anchors_batch(
+            a_, o_, ext, cfg.bev, max_anchors=cfg.anchors.max_anchors,
+            density_threshold=cfg.anchors.density_threshold,
+        ),
+        (anchors_framed, occ),
     )
     stages["bev_encode"] = (lambda p, x: bev_extractor.apply(p, x, method="encode"), (p_bev, bev_in))
     stages["img_encode"] = (lambda p, x: img_extractor.apply(p, x, method="encode"), (p_img, img_in))
@@ -222,6 +252,19 @@ def main():
         (fin_boxes, fin_scores),
     )
 
+    return stages
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--stages", default="")
+    ap.add_argument("--train", action="store_true", help="profile train-size shapes")
+    args = ap.parse_args()
+
+    b = args.batch
+    stages = build_stages(b, args.train)
     want = [w for w in args.stages.split(",") if w] or list(stages)
     total = 0.0
     for name in want:
