@@ -70,8 +70,36 @@ def _project(points_cam: np.ndarray) -> np.ndarray:
     return uvw[:, :2] / uvw[:, 2:3]
 
 
-def _scene_objects(rng, idx: int) -> List[dict]:
+def _scene_objects(rng, idx: int, scene: str = "cars") -> List[dict]:
     objs = []
+    if scene == "people":
+        # pedestrian/cyclist street scene (for the people-preset proof):
+        # small objects, nearer ranges (they carry few LiDAR points far out)
+        for _ in range(2 + idx % 3):
+            z = rng.uniform(5.0, 30.0)
+            x_max = max(0.5, min(8.0, 0.4 * z - 1.0))
+            objs.append(
+                dict(
+                    type="Pedestrian",
+                    l=rng.uniform(0.6, 1.0), w=rng.uniform(0.5, 0.8),
+                    h=rng.uniform(1.6, 1.9),
+                    x=rng.uniform(-x_max, x_max), z=z,
+                    ry=rng.uniform(-np.pi, np.pi),
+                )
+            )
+        for _ in range(1 + idx % 2):
+            z = rng.uniform(6.0, 35.0)
+            x_max = max(0.5, min(10.0, 0.4 * z - 1.5))
+            objs.append(
+                dict(
+                    type="Cyclist",
+                    l=rng.uniform(1.5, 2.0), w=rng.uniform(0.4, 0.8),
+                    h=rng.uniform(1.6, 1.8),
+                    x=rng.uniform(-x_max, x_max), z=z,
+                    ry=rng.uniform(-np.pi, np.pi),
+                )
+            )
+        return objs
     n_cars = 2 + idx % 3
     for _ in range(n_cars):
         z = rng.uniform(8.0, 45.0)
@@ -99,7 +127,7 @@ def _scene_objects(rng, idx: int) -> List[dict]:
     return objs
 
 
-def make_frame(idx: int, n_ground: int = 16384, n_obj: int = 1024):
+def make_frame(idx: int, n_ground: int = 16384, n_obj: int = 1024, scene: str = "cars"):
     """Deterministic scene -> (velo (N,4) f32, labels list, image (H,W,3) u8)."""
 
     rng = np.random.RandomState(1000 + idx)
@@ -110,7 +138,7 @@ def make_frame(idx: int, n_ground: int = 16384, n_obj: int = 1024):
     pts = [np.stack([gx, gy, gz], axis=1)]
 
     labels = []
-    for ob in _scene_objects(rng, idx):
+    for ob in _scene_objects(rng, idx, scene):
         y = 1.65  # on the road
         pts.append(_box_points(rng, ob["x"], y, ob["z"], ob["l"], ob["w"], ob["h"], ob["ry"], n_obj))
         corners_uv = _project(
@@ -152,8 +180,12 @@ def make_frame(idx: int, n_ground: int = 16384, n_obj: int = 1024):
     return velo, labels, img
 
 
-def write_kitti_tree(root: str, num_frames: int = 4, n_ground: int = 16384, n_obj: int = 1024, val_frames: Sequence[int] = (2, 3)) -> None:
-    """Write a mini KITTI object tree under ``root`` (training/ layout)."""
+def write_kitti_tree(root: str, num_frames: int = 4, n_ground: int = 16384, n_obj: int = 1024, val_frames: Sequence[int] = (2, 3), scene: str = "cars") -> None:
+    """Write a mini KITTI object tree under ``root`` (training/ layout).
+
+    ``scene``: 'cars' (default; car scenes with the odd pedestrian) or
+    'people' (pedestrian + cyclist street scenes for the people preset).
+    """
 
     from PIL import Image
 
@@ -176,7 +208,7 @@ def write_kitti_tree(root: str, num_frames: int = 4, n_ground: int = 16384, n_ob
     for i in range(num_frames):
         sid = f"{i:06d}"
         ids.append(sid)
-        velo, labels, img = make_frame(i, n_ground=n_ground, n_obj=n_obj)
+        velo, labels, img = make_frame(i, n_ground=n_ground, n_obj=n_obj, scene=scene)
         velo.tofile(os.path.join(base, "velodyne", sid + ".bin"))
         with open(os.path.join(base, "calib", sid + ".txt"), "w") as f:
             f.write(calib_txt)

@@ -28,7 +28,7 @@ def timed(body, args, n=10):
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, a,
             ))
             s = sum(
-                jnp.sum(l[..., :1].astype(jnp.float32))
+                jnp.sum(l.reshape(-1)[:1].astype(jnp.float32))
                 for l in jax.tree.leaves(out)
                 if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
             )
