@@ -220,6 +220,13 @@ class AvodStage2Config:
     loss_reg_weight: float = 5.0
     loss_ang_weight: float = 1.0
     box_rep: str = "box_4c"  # 10-d regression target (4 corners + 2 heights)
+    # Treat NMS-selected proposals as constants for stage 2 (the
+    # Faster-R-CNN/MV3D convention: no gradient through proposal box
+    # COORDINATES into the RPN; the RPN still trains through its own loss).
+    # False additionally backprops stage-2 ROI-crop box gradients into the
+    # RPN offsets — ill-conditioned through the NMS selection and a
+    # measured ~20 ms/step of re-gather work at batch 4.
+    stop_gradient_proposals: bool = True
 
 
 @_freeze

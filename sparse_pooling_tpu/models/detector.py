@@ -314,6 +314,8 @@ class SparsePoolingDetector(nn.Module):
         )
 
         # ---------------- stage 2
+        if c.avod.stop_gradient_proposals:
+            proposals = jax.lax.stop_gradient(proposals)
         prop_bev = projection.project_to_bev(proposals, ext)
         prop_img = projection.project_to_image_space(proposals, inputs["p2"], img_hw)
         s2 = c.avod.roi_size

@@ -126,6 +126,42 @@ def _first_k_true_batch(flags: jnp.ndarray, k: int):
     return jnp.where(valid, hi, 0), valid
 
 
+# Occupancy-count tier multipliers for cap-overflow prioritization, applied
+# to density_threshold (descending; the last tier is every nonempty entry).
+_TIER_MULTIPLIERS = (64, 16, 4)
+
+
+def _tiered_first_k(counts: jnp.ndarray, nonempty: jnp.ndarray, k: int, threshold: int):
+    """First-``k`` True entries prioritized by occupancy-count TIER.
+
+    When the static cap overflows, plain array-order first-k keeps the
+    NEAREST anchors (the grid is range-sorted) — which silently drops far
+    OBJECTS while keeping near bare-ground anchors (a far car carries tens
+    of points; sparse ground cells carry ~1). The reference has no cap at
+    all, so the cap must degrade gracefully: bucket entries into descending
+    count tiers (threshold x 64/16/4/1), pick first-k WITHIN each tier in
+    range order, and fill the cap tier by tier. Objects (dense footprints)
+    land in high tiers and survive overflow; the no-overflow kept SET is
+    unchanged (only reordered). Cost: a few binary-search compactions
+    (~0.1 ms each) instead of lax.top_k's full sort over the counts.
+    """
+
+    tiers = [t * threshold for t in _TIER_MULTIPLIERS]
+    idxs, vals = [], []
+    covered = None
+    for t in tiers + [None]:
+        tier = nonempty if t is None else (nonempty & (counts >= t))
+        flags = tier if covered is None else (tier & ~covered)
+        covered = tier if covered is None else (covered | tier)
+        i, v = _first_k_true_batch(flags, k)
+        idxs.append(i)
+        vals.append(v)
+    cat_i = jnp.concatenate(idxs, axis=1)
+    cat_v = jnp.concatenate(vals, axis=1)
+    sel, sel_valid = _first_k_true_batch(cat_v, k)
+    return jnp.take_along_axis(cat_i, sel, axis=1), sel_valid
+
+
 @functools.partial(
     jax.jit, static_argnames=("extents", "bev_cfg", "max_anchors", "density_threshold")
 )
@@ -141,11 +177,11 @@ def filter_anchors_device(
 
     Reference: ``anchor_filter.get_empty_anchor_filter`` (integral-image
     occupancy query over the anchor's BEV footprint). The reference keeps
-    ALL non-empty anchors (dynamic count); the static cap keeps the first
-    ``max_anchors`` non-empty anchors in array order, and the grid is
-    range-sorted (``generate_anchors_np``), so an overflowing dense scene
-    truncates the FARTHEST anchors — the common case (fewer non-empty than
-    the cap) keeps the reference's exact set.
+    ALL non-empty anchors (dynamic count); the static cap fills tier by
+    descending occupancy-count tier, range-nearest within a tier
+    (``_tiered_first_k``), so an overflowing dense scene truncates sparse
+    bare-ground anchors before object anchors — the common case (fewer
+    non-empty than the cap) keeps the reference's exact set.
     """
 
     res = filter_anchors_batch(
@@ -190,7 +226,7 @@ def filter_anchors_batch(
     counts = take(r1, c1) - take(r0, c1) - take(r1, c0) + take(r0, c0)
     nonempty = counts >= density_threshold
 
-    top_idx, valid = _first_k_true_batch(nonempty, max_anchors)
+    top_idx, valid = _tiered_first_k(counts, nonempty, max_anchors, density_threshold)
     aoff = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
     picked = jnp.take(
         anchors.reshape(b * n, anchors.shape[-1]),
@@ -223,9 +259,9 @@ def filter_anchor_positions_batch(
     share one source patch per position (``crop_and_resize_group_einsum_px``
     — the variants share box centers). Per-ANCHOR validity still reflects
     each variant's own footprint, so scoring masks match the per-anchor
-    filter. Keeps max_anchors // variants positions, first-k in the
-    range-sorted grid order (same truncation semantics as
-    ``filter_anchors_batch``).
+    filter. Keeps max_anchors // variants positions, count-tier-prioritized
+    (same graceful-overflow semantics as ``filter_anchors_batch``; see
+    ``_tiered_first_k``).
     """
 
     b, n, _ = anchors.shape
@@ -256,8 +292,11 @@ def filter_anchor_positions_batch(
     counts = take(r1, c1) - take(r0, c1) - take(r1, c0) + take(r0, c0)
     nonempty = (counts >= density_threshold).reshape(b, n_pos, variants)
     pos_nonempty = jnp.any(nonempty, axis=-1)  # [B, n_pos]
+    pos_counts = counts.reshape(b, n_pos, variants).max(axis=-1)
 
-    pos_idx, pos_valid = _first_k_true_batch(pos_nonempty, max_pos)
+    pos_idx, pos_valid = _tiered_first_k(
+        pos_counts, pos_nonempty, max_pos, density_threshold
+    )
 
     poff = (jnp.arange(b, dtype=jnp.int32) * n_pos)[:, None]
     flat_pos = (pos_idx + poff).reshape(-1)

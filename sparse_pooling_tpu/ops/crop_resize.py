@@ -114,6 +114,21 @@ def _crop_batch_impl(images: jnp.ndarray, boxes: jnp.ndarray, crop_hw) -> jnp.nd
     return top * (1 - dy) + bot * dy
 
 
+def _acc_dtype(images):
+    """Scatter-accumulator dtype for feature gradients.
+
+    Measured on TPU v5e (tools/profile_segsum_sweep.py): segment_sum cost
+    cliffs on ACCUMULATOR size — 803k entries into 563k cells x 32ch cost
+    15 ms up to ~36 MB of output but 74 ms at 72 MB (f32); accumulating in
+    bf16 stays on the fast side at every feature-map size the detector
+    uses. So bf16 feature maps (the production compute dtype) accumulate
+    their gradient in bf16 — standard mixed-precision activation-grad
+    handling — while f32 maps (parity tests, oracles) keep exact f32.
+    """
+
+    return jnp.bfloat16 if images.dtype == jnp.bfloat16 else jnp.float32
+
+
 def _bilinear_bwd(images, boxes, g, coords_fn, crop_hw):
     """Shared backward for all bilinear-sampling crops.
 
@@ -152,6 +167,7 @@ def _bilinear_bwd(images, boxes, g, coords_fn, crop_hw):
     idx10 = (base + y1g * w + xg).reshape(-1)
     idx11 = (base + y1g * w + x1g).reshape(-1)
     m = b * n * ch * cw
+    acc = _acc_dtype(images)
     flat_ids = jnp.concatenate([idx00, idx01, idx10, idx11])
     flat_grads = jnp.concatenate(
         [
@@ -160,14 +176,32 @@ def _bilinear_bwd(images, boxes, g, coords_fn, crop_hw):
             (g * w10).reshape(m, c),
             (g * w11).reshape(m, c),
         ]
-    )
+    ).astype(acc)
     g_images = jax.ops.segment_sum(
         flat_grads, flat_ids, num_segments=b * h * w
     ).reshape(b, h, w, c).astype(images.dtype)
 
-    # ---- box gradient: chain through dy/dx -> ys/xs -> boxes.
-    # Re-gather the corner values (cheap relative to the scatter this
-    # custom bwd avoids), then chain the bilinear blend analytically.
+    g_boxes = _box_grad_from_corners(
+        images, g, (ys, xs), (dy, dx), (idx00, idx01, idx10, idx11), coords_vjp
+    )
+    return g_images, g_boxes
+
+
+def _box_grad_from_corners(images, g, coords, deltas, idxs, coords_vjp):
+    """Box gradient: chain through dy/dx -> ys/xs -> boxes.
+
+    Re-gathers the corner values (cheap relative to the scatter the custom
+    bwd avoids), then chains the bilinear blend analytically. In training,
+    XLA dead-code-eliminates this whole path whenever the boxes do not
+    depend on parameters (RPN anchors, stop-gradient'ed proposals).
+    """
+
+    b, h, w, c = images.shape
+    ys, xs = coords
+    dy, dx = deltas
+    idx00, idx01, idx10, idx11 = idxs
+    n, ch = ys.shape[1], ys.shape[2]
+    cw = xs.shape[2]
     flat = images.reshape(b * h * w, c).astype(jnp.float32)
     p00 = jnp.take(flat, idx00, axis=0).reshape(b, n, ch, cw, c)
     p01 = jnp.take(flat, idx01, axis=0).reshape(b, n, ch, cw, c)
@@ -180,7 +214,7 @@ def _bilinear_bwd(images, boxes, g, coords_fn, crop_hw):
         g * ((p01 - p00) * (1 - dy) + (p11 - p10) * dy), axis=(2, 4)
     )  # [B, N, cw]
     (g_boxes,) = coords_vjp((g_dy.astype(ys.dtype), g_dx.astype(xs.dtype)))
-    return g_images, g_boxes
+    return g_boxes
 
 
 @functools.cache
@@ -469,11 +503,89 @@ def _group_einsum_impl(images, boxes_grouped, crop_hw, patch):
     return out.transpose(0, 1, 2, 4, 3, 5)  # -> [B,P,V,ch,cw,C]
 
 
+def _box_grad(images, boxes, g, coords_fn):
+    """Box gradient alone (corner geometry + ``_box_grad_from_corners``)."""
+
+    b, h, w, _ = images.shape
+    (ys, xs), coords_vjp = jax.vjp(coords_fn, boxes)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, max(h - 2, 0))
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, max(w - 2, 0))
+    dy = (ys - y0)[:, :, :, None, None].astype(jnp.float32)
+    dx = (xs - x0)[:, :, None, :, None].astype(jnp.float32)
+    n, ch = ys.shape[1], ys.shape[2]
+    cw = xs.shape[2]
+    base = (jnp.arange(b) * (h * w))[:, None, None, None]
+    yg = jnp.broadcast_to(y0[:, :, :, None], (b, n, ch, cw))
+    xg = jnp.broadcast_to(x0[:, :, None, :], (b, n, ch, cw))
+    y1g = jnp.minimum(yg + 1, h - 1)
+    x1g = jnp.minimum(xg + 1, w - 1)
+    idxs = (
+        (base + yg * w + xg).reshape(-1),
+        (base + yg * w + x1g).reshape(-1),
+        (base + y1g * w + xg).reshape(-1),
+        (base + y1g * w + x1g).reshape(-1),
+    )
+    return _box_grad_from_corners(
+        images, g, (ys, xs), (dy, dx), idxs, coords_vjp
+    )
+
+
+def _group_feature_grad(images, boxes_grouped, g, crop_hw, patch):
+    """Feature gradient of the grouped patch crop by WINDOW transpose.
+
+    The forward is (gather windows) ∘ (tent-weight einsums); its exact
+    transpose is (einsum transposes on the MXU) ∘ (scatter windows). The
+    window scatter has py*px entries per POSITION — measured 2.2x fewer
+    entries than the corner scatter at RPN scale (V=4 variants, 3x3 crops:
+    1.05M vs 2.36M) and the einsums are trivial MXU work, vs the corner
+    path's 4x elementwise mul+concat entry build.
+    """
+
+    b, h, w, c = images.shape
+    _, p, v, _ = boxes_grouped.shape
+    ch, cw = crop_hw
+    ys, xs, y_start, x_start = _group_starts(boxes_grouped, h, w, crop_hw, patch)
+    py, px = min(patch, h), min(patch, w)
+    rel_y = jnp.clip(ys - y_start[..., None, None], 0.0, py - 1.0)  # [B,P,V,ch]
+    rel_x = jnp.clip(xs - x_start[..., None, None], 0.0, px - 1.0)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(rel_y[..., None] - jnp.arange(py, dtype=rel_y.dtype)))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rel_x[..., None] - jnp.arange(px, dtype=rel_x.dtype)))
+
+    g = g.astype(jnp.float32)  # [B,P,V,ch,cw,C]
+    # transpose of: out[b,p,v,cw,ch,c] = sum_px wx[...cw,px] t[...ch,px,c]
+    g_out = g.transpose(0, 1, 2, 4, 3, 5)  # [B,P,V,cw,ch,C]
+    g_t = jax.lax.dot_general(
+        wx.astype(jnp.float32), g_out,
+        (((3,), (3,)), ((0, 1, 2), (0, 1, 2))),
+    )  # [B,P,V,px,ch,C]
+    # transpose of: t[b,p,(v ch),(px c)] = wy[b,p,(v ch),py] @ patches[b,p,py,(px c)]
+    g_t = g_t.transpose(0, 1, 2, 4, 3, 5).reshape(b, p, v * ch, px * c)
+    g_patches = jax.lax.dot_general(
+        wy.astype(jnp.float32).reshape(b, p, v * ch, py), g_t,
+        (((2,), (2,)), ((0, 1), (0, 1))),
+    )  # [B,P,py,px*C]
+
+    bi = jnp.arange(b, dtype=jnp.int32)[:, None]
+    oy = jnp.arange(py, dtype=jnp.int32)[None, None, :, None]
+    ox = jnp.arange(px, dtype=jnp.int32)[None, None, None, :]
+    fid = (
+        (bi[..., None, None] * h + y_start[..., None, None] + oy) * w
+        + x_start[..., None, None] + ox
+    )  # [B,P,py,px]
+    acc = _acc_dtype(images)
+    return jax.ops.segment_sum(
+        g_patches.reshape(-1, c).astype(acc),
+        fid.reshape(-1),
+        num_segments=b * h * w,
+    ).reshape(b, h, w, c).astype(images.dtype)
+
+
 @functools.cache
 def _group_with_vjp(crop_hw, patch):
-    """custom_vjp for the grouped patch crop (same rationale as
-    ``_patch_with_vjp``; backward reuses ``_bilinear_bwd`` on the flattened
-    effective coords)."""
+    """custom_vjp for the grouped patch crop: feature grad by window
+    transpose (``_group_feature_grad``), box grad through the flattened
+    effective coords (``_box_grad``; dead-code-eliminated in training where
+    RPN anchor boxes don't depend on parameters)."""
 
     @jax.custom_vjp
     def crop(images, boxes_grouped):
@@ -490,15 +602,15 @@ def _group_with_vjp(crop_hw, patch):
         b, p, v, _ = boxes_grouped.shape
         _, h, w, _ = images.shape
         ch, cw = crop_hw
+        g_images = _group_feature_grad(images, boxes_grouped, g, crop_hw, patch)
         coords_fn = lambda bx: _group_coords(
             bx.reshape(b, p, v, 4), h, w, crop_hw, patch
         )
-        g_images, g_boxes = _bilinear_bwd(
+        g_boxes = _box_grad(
             images,
             boxes_grouped.reshape(b, p * v, 4),
-            g.reshape(b, p * v, ch, cw, -1),
+            g.reshape(b, p * v, ch, cw, -1).astype(jnp.float32),
             coords_fn,
-            crop_hw,
         )
         return g_images, g_boxes.reshape(b, p, v, 4)
 
