@@ -99,33 +99,6 @@ def _integral_image_2d(grid: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(ii, ((1, 0), (1, 0)))
 
 
-def _first_k_true_batch(flags: jnp.ndarray, k: int):
-    """Per row, the indices of the first ``k`` True entries in array order.
-
-    Vectorized binary search over the running count — 16 flat gathers of
-    [B, k] instead of the full [B, N] sort ``lax.top_k`` lowers to (the
-    sort measured ~2.3 ms/frame at RPN scale; this is ~0.1).
-    Returns (idx [B, k] int32, valid [B, k] bool).
-    """
-
-    b, n = flags.shape
-    cs = jnp.cumsum(flags.astype(jnp.int32), axis=1)  # nondecreasing per row
-    targets = jnp.arange(1, k + 1, dtype=jnp.int32)
-    flat = cs.reshape(-1)
-    boff = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
-    lo = jnp.zeros((b, k), jnp.int32)
-    hi = jnp.full((b, k), n - 1, jnp.int32)
-    steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
-    for _ in range(steps):  # static trip count; answer stays in [lo, hi]
-        mid = (lo + hi) >> 1
-        v = jnp.take(flat, (mid + boff).reshape(-1)).reshape(b, k)
-        ge = v >= targets[None, :]
-        hi = jnp.where(ge, mid, hi)
-        lo = jnp.where(ge, lo, jnp.minimum(mid + 1, n - 1))
-    valid = targets[None, :] <= cs[:, -1:]
-    return jnp.where(valid, hi, 0), valid
-
-
 # Occupancy-count tier multipliers for cap-overflow prioritization, applied
 # to density_threshold (descending; the last tier is every nonempty entry).
 _TIER_MULTIPLIERS = (64, 16, 4)
@@ -142,24 +115,40 @@ def _tiered_first_k(counts: jnp.ndarray, nonempty: jnp.ndarray, k: int, threshol
     count tiers (threshold x 64/16/4/1), pick first-k WITHIN each tier in
     range order, and fill the cap tier by tier. Objects (dense footprints)
     land in high tiers and survive overflow; the no-overflow kept SET is
-    unchanged (only reordered). Cost: a few binary-search compactions
-    (~0.1 ms each) instead of lax.top_k's full sort over the counts.
+    unchanged (only reordered). Cost: 4 cumsums + ONE rank-scatter instead
+    of lax.top_k's full sort over the counts.
     """
 
+    b, n = nonempty.shape
     tiers = [t * threshold for t in _TIER_MULTIPLIERS]
-    idxs, vals = [], []
-    covered = None
-    for t in tiers + [None]:
-        tier = nonempty if t is None else (nonempty & (counts >= t))
-        flags = tier if covered is None else (tier & ~covered)
-        covered = tier if covered is None else (covered | tier)
-        i, v = _first_k_true_batch(flags, k)
-        idxs.append(i)
-        vals.append(v)
-    cat_i = jnp.concatenate(idxs, axis=1)
-    cat_v = jnp.concatenate(vals, axis=1)
-    sel, sel_valid = _first_k_true_batch(cat_v, k)
-    return jnp.take_along_axis(cat_i, sel, axis=1), sel_valid
+
+    # Global keep-priority = (tier, array index). Rather than a binary
+    # search per tier (each costs 16 gathers of [B, k] — the search's [B,k]
+    # gather descriptors dominate the whole filter), compute every entry's
+    # RANK in that order directly: per-tier running count + the total of
+    # all higher tiers. Then ONE unique-index segment-sum scatters each
+    # kept entry's array index into its output slot. Cost: a few [B, N]
+    # cumsums (vector ops) + one B*N-entry scatter.
+    t_rank = sum((counts < t).astype(jnp.int32) for t in tiers)  # 0 = densest
+    n_tiers = len(tiers) + 1
+    rank = jnp.zeros((b, n), jnp.int32)
+    offset = jnp.zeros((b, 1), jnp.int32)
+    for ti in range(n_tiers):
+        flag = nonempty & (t_rank == ti)
+        c = jnp.cumsum(flag.astype(jnp.int32), axis=1)
+        rank = jnp.where(flag, offset + c, rank)
+        offset = offset + c[:, -1:]
+    total = offset[:, 0]  # [B] nonempty count
+
+    slot = rank - 1  # 0-based output slot for kept entries
+    boff = (jnp.arange(b, dtype=jnp.int32) * k)[:, None]
+    ids = jnp.where(nonempty & (slot < k), boff + slot, b * k)  # sentinel
+    idx_src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    out = jax.ops.segment_sum(
+        idx_src.reshape(-1), ids.reshape(-1), num_segments=b * k + 1
+    )[: b * k].reshape(b, k)
+    valid = jnp.arange(k, dtype=jnp.int32)[None, :] < jnp.minimum(total, k)[:, None]
+    return jnp.where(valid, out, 0), valid
 
 
 @functools.partial(
@@ -202,10 +191,9 @@ def filter_anchors_batch(
     """Batch-native anchor filter: the four integral-image corner lookups
     become ONE flat gather with per-sample offsets (the vmapped form lowers
     to XLA's batched gather — measured ~6 ms/batch at batch 8), and the
-    static-cap compaction is a binary search over the nonempty running
-    count instead of ``lax.top_k``'s full sort (~20x cheaper; see
-    ``_first_k_true_batch``). Overflow semantics: range-sorted grid order
-    (see ``filter_anchors_device``)."""
+    static-cap compaction is a rank-scatter instead of ``lax.top_k``'s
+    full sort (see ``_tiered_first_k``). Overflow semantics: descending
+    count tiers (see ``filter_anchors_device``)."""
 
     b, n, _ = anchors.shape
     ii = _integral_image_2d_batch(occupancy.astype(jnp.float32))  # [B,H+1,W+1]
