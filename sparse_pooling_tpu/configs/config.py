@@ -162,6 +162,11 @@ class BackboneConfig:
     # a stride-2 lattice nearly as well at half the decode cost. Crop
     # coordinates account for the stride exactly (cell-center alignment).
     decode_stride: int = 2
+    # Pack 2x2 input pixels into channels and skip the first pool: stage 1
+    # runs at stride 2 on 4x channels (lossless input rearrangement; the
+    # raw 6-channel first conv wastes the 128-wide MXU and stage-1 burns
+    # full-res FLOPs). Requires decode_stride >= 2. See models/backbone.py.
+    space_to_depth: bool = True
     l2_weight_decay: float = 0.0005
     compute_dtype: str = "bfloat16"  # TPU MXU-native; params stay fp32
 

@@ -109,6 +109,7 @@ def unittest_config(dataset_root: str = "tests/fixtures/kitti") -> PipelineConfi
             backbone=BackboneConfig(
                 channels=(8, 16), blocks=(1, 1), out_channels=8,
                 compute_dtype="float32", decode_stride=1,
+                space_to_depth=False,
             ),
             rpn=RpnConfig(
                 fusion_channels=32,

@@ -24,17 +24,34 @@ import jax.numpy as jnp
 
 class VggEncoder(nn.Module):
     """VGG encoder; returns per-stage feature maps (last one is the 'mid'
-    representation where SHPL fusion applies, at stride 2^(stages-1))."""
+    representation where SHPL fusion applies, at stride 2^(stages-1)).
+
+    ``space_to_depth`` packs 2x2 input pixels into channels before stage 1
+    and skips the first pool, so stage 1 runs at stride 2 on 4x the input
+    channels (a lossless rearrangement of the same pixels). This is the
+    standard TPU detection trick: the raw first conv has a 9*C_in=54
+    contraction dim against the 128-wide MXU (util <= 42%) and the rest of
+    stage 1 burns full-resolution FLOPs; packed, the contraction dim is 216
+    and stage-1 spatial work drops 4x. Stages 2+ see identical shapes.
+    Requires the consumer to never use the stride-1 skip (decode_stride
+    >= 2 — checked by ``VggPyramidExtractor``).
+    """
 
     channels: Sequence[int]
     blocks: Sequence[int]
     dtype: jnp.dtype = jnp.bfloat16
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.space_to_depth:
+            b0, h, w, c = x.shape
+            x = x.reshape(b0, h // 2, 2, w // 2, 2, c).transpose(
+                0, 1, 3, 2, 4, 5
+            ).reshape(b0, h // 2, w // 2, 4 * c)
         skips = []
         for stage, (ch, nb) in enumerate(zip(self.channels, self.blocks)):
-            if stage > 0:
+            if stage > 0 and not (stage == 1 and self.space_to_depth):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             for b in range(nb):
                 x = nn.Conv(
@@ -100,9 +117,19 @@ class VggPyramidExtractor(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.bfloat16
     decode_stride: int = 1
+    space_to_depth: bool = False
 
     def setup(self):
-        self.encoder = VggEncoder(self.channels, self.blocks, self.dtype)
+        if self.space_to_depth and self.decode_stride < 2:
+            raise ValueError(
+                "space_to_depth moves the stage-1 features to stride 2, so "
+                "the decoder cannot produce a stride-1 map (no stride-1 "
+                "skip exists); use decode_stride >= 2"
+            )
+        self.encoder = VggEncoder(
+            self.channels, self.blocks, self.dtype,
+            space_to_depth=self.space_to_depth,
+        )
         self.decoder = PyramidDecoder(
             self.channels, self.out_channels, self.dtype,
             stop_stride=self.decode_stride,

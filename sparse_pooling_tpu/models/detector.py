@@ -160,10 +160,12 @@ class SparsePoolingDetector(nn.Module):
         self.bev_extractor = VggPyramidExtractor(
             c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
             decode_stride=c.backbone.decode_stride,
+            space_to_depth=c.backbone.space_to_depth,
         )
         self.img_extractor = VggPyramidExtractor(
             c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
             decode_stride=c.backbone.decode_stride,
+            space_to_depth=c.backbone.space_to_depth,
         )
         mid_ch = c.backbone.channels[-1]
         pc = c.sparse_pool.pool_channels

@@ -305,3 +305,41 @@ def test_grads_flow_to_both_branches(setup):
     # with train rng key 3 both branches are kept, so the image branch must
     # receive real gradient (a dropped branch would make this exactly 0)
     assert img_g > 0
+
+
+def test_space_to_depth_backbone_shapes_and_grads():
+    """space_to_depth packs the input losslessly: identical mid/decoded
+    shapes at decode_stride 2, gradients flow, and stride-1 decode is
+    rejected (no stride-1 skip exists)."""
+
+    from sparse_pooling_tpu.models.backbone import VggPyramidExtractor
+
+    rng = np.random.RandomState(0)
+    x = jnp.array(rng.rand(2, 16, 24, 6), jnp.float32)
+    kw = dict(channels=(8, 16), blocks=(1, 1), out_channels=8,
+              dtype=jnp.float32, decode_stride=2)
+    plain = VggPyramidExtractor(**kw)
+    s2d = VggPyramidExtractor(space_to_depth=True, **kw)
+    key = jax.random.PRNGKey(0)
+    p0 = plain.init(key, x)
+    p1 = s2d.init(key, x)
+
+    def run(mod, p):
+        mid, skips = mod.apply(p, x, method="encode")
+        return mid, mod.apply(p, mid, skips, method="decode")
+
+    m0, d0 = run(plain, p0)
+    m1, d1 = run(s2d, p1)
+    assert m0.shape == m1.shape  # final stride unchanged
+    assert d0.shape == d1.shape  # decode_stride-2 map unchanged
+
+    g = jax.grad(lambda p: jnp.sum(run(s2d, p)[1] ** 2))(p1)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+    with pytest.raises(ValueError, match="decode_stride"):
+        VggPyramidExtractor(
+            channels=(8, 16), blocks=(1, 1), out_channels=8,
+            dtype=jnp.float32, decode_stride=1, space_to_depth=True,
+        ).init(key, x)

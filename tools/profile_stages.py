@@ -103,10 +103,12 @@ def build_stages(b: int, train: bool):
     bev_extractor = VggPyramidExtractor(
         cfg.backbone.channels, cfg.backbone.blocks, out_ch, dt,
         decode_stride=cfg.backbone.decode_stride,
+        space_to_depth=cfg.backbone.space_to_depth,
     )
     img_extractor = VggPyramidExtractor(
         cfg.backbone.channels, cfg.backbone.blocks, out_ch, dt,
         decode_stride=cfg.backbone.decode_stride,
+        space_to_depth=cfg.backbone.space_to_depth,
     )
     p_bev = bev_extractor.init(key, bev_in[:1])
     p_img = img_extractor.init(key, img_in[:1])
