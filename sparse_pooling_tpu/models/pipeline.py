@@ -169,11 +169,13 @@ def build_model_inputs_batch(
     else:
         # position-granular: kept anchors stay grouped by grid position
         # (all class/rotation variants adjacent), which lets the RPN ROI
-        # crops share ONE gathered patch per position (detector.py)
-        filtered = anchor_ops.filter_anchor_positions_batch(
-            anchors_frame, occupancy, extents, cfg.bev,
+        # crops share ONE gathered patch per position (detector.py); the
+        # grid form does the occupancy query with strided slices (zero
+        # gather descriptors) and falls back to the gather path for
+        # non-integer stride/voxel ratios
+        filtered = anchor_ops.filter_anchor_positions_grid(
+            anchors_frame, occupancy, extents, cfg.bev, cfg.anchors,
             max_anchors=cfg.anchors.max_anchors,
-            variants=anchor_variants(cfg),
             density_threshold=cfg.anchors.density_threshold,
         )
         filtered_anchors, filtered_valid = filtered.anchors, filtered.valid

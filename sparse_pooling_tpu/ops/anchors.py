@@ -55,14 +55,21 @@ def generate_anchors_np(
     """
 
     centers = grid_anchor_centers_xz(extents, cfg.stride)
-    # RANGE-PRIORITIZED ORDER: positions sorted by distance from the sensor,
-    # class/rotation variants adjacent per position. The filter compacts
-    # nonempty anchors in ARRAY order under a static cap (see
-    # ``filter_anchors_batch``), so when a dense scene overflows the cap the
-    # truncation drops the FARTHEST anchors — never a whole class (the old
-    # class-major layout would have) and never a random spatial band.
-    order = np.argsort(centers[:, 0] ** 2 + centers[:, 1] ** 2, kind="stable")
-    centers = centers[order]
+    # Z-MAJOR GRID ORDER: positions scan x fastest, z (range) slowest, with
+    # class/rotation variants adjacent per position. Two things depend on
+    # this order: (1) cap-overflow truncation WITHIN a count tier drops
+    # later array entries, i.e. the largest-z (farthest) positions — the
+    # tiers themselves already keep dense object anchors over bare ground
+    # (``_tiered_first_k``); (2) the REGULAR grid layout lets the anchor
+    # filter compute every position's footprint occupancy with strided
+    # SLICES of the integral image instead of per-corner gathers
+    # (``filter_anchor_positions_grid`` — the corner gathers were the
+    # filter's whole cost, ~10 ms/batch of descriptor latency).
+    nx = len(np.arange(extents.x_min + cfg.stride / 2, extents.x_max, cfg.stride))
+    nz = centers.shape[0] // nx
+    centers = (
+        centers.reshape(nx, nz, 2).transpose(1, 0, 2).reshape(-1, 2)
+    )  # x-major meshgrid -> z-major scan
     a, b, c, d = ground_plane
     out = []
     for cls_idx, (l, w, h) in enumerate(cfg.sizes):
@@ -260,7 +267,6 @@ def filter_anchor_positions_batch(
             f"max_anchors {max_anchors} not divisible by variants {variants}"
         )
     n_pos = n // variants
-    max_pos = max_anchors // variants
 
     ii = _integral_image_2d_batch(occupancy.astype(jnp.float32))  # [B,H+1,W+1]
     h1, w1 = ii.shape[1], ii.shape[2]
@@ -278,9 +284,24 @@ def filter_anchor_positions_batch(
     boff = (jnp.arange(b, dtype=jnp.int32) * (h1 * w1))[:, None]
     take = lambda r, c: jnp.take(flat, (boff + r * w1 + c).reshape(-1)).reshape(b, n)
     counts = take(r1, c1) - take(r0, c1) - take(r1, c0) + take(r0, c0)
-    nonempty = (counts >= density_threshold).reshape(b, n_pos, variants)
+    return _compact_positions(
+        anchors, counts.reshape(b, n_pos, variants), max_anchors, density_threshold
+    )
+
+
+def _compact_positions(
+    anchors: jnp.ndarray,  # [B, n_pos * variants, 8] position-major
+    counts: jnp.ndarray,  # [B, n_pos, variants] footprint occupancy counts
+    max_anchors: int,
+    density_threshold: int,
+) -> FilteredAnchors:
+    """Tier-compact whole positions from per-variant footprint counts."""
+
+    b, n_pos, variants = counts.shape
+    max_pos = max_anchors // variants
+    nonempty = counts >= density_threshold
     pos_nonempty = jnp.any(nonempty, axis=-1)  # [B, n_pos]
-    pos_counts = counts.reshape(b, n_pos, variants).max(axis=-1)
+    pos_counts = counts.max(axis=-1)
 
     pos_idx, pos_valid = _tiered_first_k(
         pos_counts, pos_nonempty, max_pos, density_threshold
@@ -296,6 +317,87 @@ def filter_anchor_positions_batch(
     ).reshape(b, max_pos, variants)
     valid = (picked_nonempty & pos_valid[..., None]).reshape(b, max_anchors)
     return FilteredAnchors(anchors=picked, valid=valid)
+
+
+def filter_anchor_positions_grid(
+    anchors: jnp.ndarray,  # [B, N, 8] the z-major static grid + per-frame y
+    occupancy: jnp.ndarray,  # [B, H, W]
+    extents: AreaExtents,
+    bev_cfg: BevConfig,
+    anchor_cfg: AnchorConfig,
+    max_anchors: int,
+    density_threshold: int = 1,
+) -> FilteredAnchors:
+    """Position filter with ZERO gather descriptors in the occupancy query.
+
+    Anchor positions tile a REGULAR grid (``generate_anchors_np``, z-major)
+    and each variant's footprint is a STATIC box, so when the anchor stride
+    is an integer number of BEV cells every corner lookup of the
+    integral-image query is a strided SLICE of the integral image — the
+    per-corner gathers they replace were the filter's entire cost
+    (~10 ms/batch-4 of descriptor latency, tools/profile_train.py).
+    Clipped corners are reproduced by edge-replicating the integral image.
+    Falls back to ``filter_anchor_positions_batch`` (gather path, also the
+    parity oracle in tests) for non-integer stride/voxel ratios.
+    """
+
+    variants = len(anchor_cfg.sizes) * len(anchor_cfg.rotations)
+    vs = bev_cfg.voxel_size
+    s_cells = anchor_cfg.stride / vs
+    if abs(s_cells - round(s_cells)) > 1e-6:
+        return filter_anchor_positions_batch(
+            anchors, occupancy, extents, bev_cfg,
+            max_anchors=max_anchors, variants=variants,
+            density_threshold=density_threshold,
+        )
+    s = int(round(s_cells))
+
+    b = anchors.shape[0]
+    h, w = occupancy.shape[1], occupancy.shape[2]
+    nx = len(np.arange(extents.x_min + anchor_cfg.stride / 2, extents.x_max, anchor_cfg.stride))
+    nz = len(np.arange(extents.z_min + anchor_cfg.stride / 2, extents.z_max, anchor_cfg.stride))
+    n_pos = nz * nx
+    if anchors.shape[1] != n_pos * variants:
+        raise ValueError(
+            f"anchors [{anchors.shape[1]}] do not tile the {nz}x{nx} grid "
+            f"with {variants} variants"
+        )
+
+    # static per-variant corner offsets (cells) from each position's cell
+    half = anchor_cfg.stride / 2.0
+    offs = []
+    for l, wd, _h in anchor_cfg.sizes:
+        for rot_idx, _ in enumerate(anchor_cfg.rotations):
+            dim_x, dim_z = (l, wd) if rot_idx % 2 == 0 else (wd, l)
+            offs.append((
+                int(np.floor((half - dim_z / 2) / vs)),  # r0
+                int(np.ceil((half + dim_z / 2) / vs)),  # r1
+                int(np.floor((half - dim_x / 2) / vs)),  # c0
+                int(np.ceil((half + dim_x / 2) / vs)),  # c1
+            ))
+
+    # pad the integral image so clipped corners read edge values (clip
+    # semantics of the gather path: ii[<0] -> 0-row/col, ii[>dim] -> last)
+    pad_t = max(0, -min(o[0] for o in offs))
+    pad_b = max(0, (nz - 1) * s + max(o[1] for o in offs) - h)
+    pad_l = max(0, -min(o[2] for o in offs))
+    pad_r = max(0, (nx - 1) * s + max(o[3] for o in offs) - w)
+    ii = _integral_image_2d_batch(occupancy.astype(jnp.float32))  # [B,H+1,W+1]
+    ii = jnp.pad(ii, ((0, 0), (pad_t, pad_b), (pad_l, pad_r)), mode="edge")
+
+    def sl(r_off, c_off):
+        r0 = pad_t + r_off
+        c0 = pad_l + c_off
+        return ii[:, r0 : r0 + (nz - 1) * s + 1 : s, c0 : c0 + (nx - 1) * s + 1 : s]
+
+    counts = jnp.stack(
+        [
+            sl(r1, c1) - sl(r0, c1) - sl(r1, c0) + sl(r0, c0)
+            for (r0, r1, c0, c1) in offs
+        ],
+        axis=-1,
+    ).reshape(b, n_pos, variants)
+    return _compact_positions(anchors, counts, max_anchors, density_threshold)
 
 
 def anchors_per_frame(cfg: AnchorConfig, extents: AreaExtents) -> int:

@@ -523,3 +523,39 @@ def test_minibatch_no_gt():
     )
     assert not np.asarray(mb.is_pos).any()
     assert np.asarray(mb.cls_target).tolist() == [0, 0]
+
+
+def test_grid_filter_matches_gather_filter(rng):
+    """The strided-slice occupancy query (filter_anchor_positions_grid)
+    must keep exactly the gather path's positions/validity — same counts,
+    same tiers, same compaction — including clipped edge footprints."""
+
+    cfg = AnchorConfig(sizes=((3.9, 1.6, 1.56), (0.8, 0.6, 1.7)), stride=2.0)
+    ext = AreaExtents()
+    bev_cfg = BevConfig(voxel_size=0.5)
+    grid = anch.generate_anchors_np(cfg, ext, PLANE).astype(np.float32)
+    h, w = bev_cfg.grid_hw(ext)
+    occ = (rng.rand(2, h, w) > 0.97).astype(np.float32)
+    anchors_b = jnp.array(np.tile(grid[None], (2, 1, 1)))
+    v = 4  # 2 sizes x 2 rotations
+
+    for cap in (64, 512, grid.shape[0]):
+        cap -= cap % v
+        got = anch.filter_anchor_positions_grid(
+            anchors_b, jnp.array(occ), ext, bev_cfg, cfg, max_anchors=cap
+        )
+        ref = anch.filter_anchor_positions_batch(
+            anchors_b, jnp.array(occ), ext, bev_cfg, max_anchors=cap, variants=v
+        )
+        np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+        np.testing.assert_allclose(
+            np.asarray(got.anchors), np.asarray(ref.anchors), atol=1e-6
+        )
+
+    # non-integer stride/voxel ratio falls back to the gather path
+    odd = BevConfig(voxel_size=0.3)
+    got = anch.filter_anchor_positions_grid(
+        anchors_b, jnp.array(occ[:, : odd.grid_hw(ext)[0], : odd.grid_hw(ext)[1]]),
+        ext, odd, cfg, max_anchors=256,
+    )
+    assert got.anchors.shape[1] == 256
