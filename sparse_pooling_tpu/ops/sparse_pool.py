@@ -21,6 +21,8 @@ All functions take [S, C] source features and return [T, C]; use
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -93,6 +95,118 @@ def sparse_pool_point_major_batch(
         num_targets=b * num_targets,
     )
     return flat.reshape(b, num_targets, c)
+
+
+def _gather_point_patches(src_map, cols):
+    """[B, Hs, Ws, C] + corner indices [B, P, 4] -> corner values [B, P, 4, C]
+    via ONE 2x2-window gather descriptor per point."""
+
+    b, hs, ws, c = src_map.shape
+    p = cols.shape[1]
+    c00 = cols[..., 0]
+    v0 = c00 // ws
+    u0 = c00 % ws
+    bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, p))
+    starts = jnp.stack([bidx, v0, u0], axis=-1).reshape(-1, 3)
+    patches = jax.lax.gather(
+        src_map,
+        starts,
+        dimension_numbers=jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2),
+        ),
+        slice_sizes=(1, 2 if hs > 1 else 1, 2 if ws > 1 else 1, c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    if hs == 1:
+        patches = jnp.concatenate([patches, patches], axis=1)
+    if ws == 1:
+        patches = jnp.concatenate([patches, patches], axis=2)
+    return patches.reshape(b, p, 4, c)
+
+
+@functools.cache
+def _patch_pool_with_vjp(num_targets: int):
+    """custom_vjp: XLA's default transpose of the 2x2-window gather is a
+    window scatter-add, which the TPU backend SERIALIZES (840+ ms measured,
+    tools/profile_bwd_parts.py); the hand-written backward scatters corner
+    entries through one segment_sum like the flat path's autodiff did."""
+
+    def impl(src_map, rows, cols, vals):
+        b, _, _, c = src_map.shape
+        patches = _gather_point_patches(src_map, cols)
+        g = jnp.sum(patches.astype(jnp.float32) * vals[..., None], axis=2)
+        row_off = (jnp.arange(b, dtype=rows.dtype) * num_targets)[:, None]
+        flat = jax.ops.segment_sum(
+            g.reshape(-1, c), (rows + row_off).reshape(-1),
+            num_segments=b * num_targets,
+        )
+        return flat.reshape(b, num_targets, c)
+
+    @jax.custom_vjp
+    def pool(src_map, rows, cols, vals):
+        return impl(src_map, rows, cols, vals)
+
+    def fwd(src_map, rows, cols, vals):
+        return impl(src_map, rows, cols, vals), (src_map, rows, cols, vals)
+
+    def bwd(res, g):
+        import numpy as np
+
+        src_map, rows, cols, vals = res
+        b, hs, ws, c = src_map.shape
+        p = rows.shape[1]
+        row_off = (jnp.arange(b, dtype=rows.dtype) * num_targets)[:, None]
+        gp = jnp.take(
+            g.astype(jnp.float32).reshape(b * num_targets, c),
+            (rows + row_off).reshape(-1),
+            axis=0,
+        ).reshape(b, p, c)
+        # src grad: corner entries -> one segment_sum over source cells
+        entries = (vals[..., None] * gp[:, :, None, :]).reshape(-1, c)
+        coff = (jnp.arange(b, dtype=cols.dtype) * (hs * ws))[:, None, None]
+        g_src = jax.ops.segment_sum(
+            entries, (cols + coff).reshape(-1), num_segments=b * hs * ws
+        ).reshape(src_map.shape).astype(src_map.dtype)
+        # vals grad: re-gather the corners (cheap) and contract channels
+        patches = _gather_point_patches(src_map, cols).astype(jnp.float32)
+        g_vals = jnp.sum(patches * gp[:, :, None, :], axis=-1).astype(vals.dtype)
+        zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+        return g_src, zero(rows), zero(cols), g_vals
+
+    pool.defvjp(fwd, bwd)
+    return pool
+
+
+def sparse_pool_patch_major_batch(
+    src_map: jnp.ndarray,  # [B, Hs, Ws, C] source feature MAP
+    rows: jnp.ndarray,  # [B, P] int32 target row per point
+    cols: jnp.ndarray,  # [B, P, 4] int32 bilinear-corner linear indices
+    vals: jnp.ndarray,  # [B, P, 4] f32 weights (0 on padding)
+    num_targets: int,
+) -> jnp.ndarray:
+    """Point-major pooling with ONE 2x2-window gather descriptor per point.
+
+    The 4 bilinear taps of a point are the corners of a 2x2 window
+    (``ops.sparse_build._bilinear_expand`` emits them clamped so the window
+    always fits), and TPU gathers are descriptor-latency-bound — so
+    gathering [2, 2, C] windows instead of 4 flat rows cuts the pooling's
+    gather descriptors 4x, the same trick as the ROI crops
+    (``ops.crop_resize``). Only valid for DEVICE-BUILT point-major COO
+    whose corner order is [v0u0, v0u1, v1u0, v1u1]; generic/host COO goes
+    through ``sparse_pool_point_major_batch``. Carries a custom VJP (see
+    ``_patch_pool_with_vjp``).
+
+    MEASURED NEUTRAL at production shapes (18.35 vs 18.17 ms/batch-8 for
+    both fusion directions): this pooling is bound by its segment-sum
+    ENTRY count (~18 ns/entry at B*max_points entries), not by gather
+    descriptors, so the production fusion layer keeps the flat form. Kept
+    as a tested variant because the cost balance flips if max_points
+    shrinks or channel width grows.
+    """
+
+    return _patch_pool_with_vjp(int(num_targets))(src_map, rows, cols, vals)
 
 
 def sparse_pool_ell(

@@ -333,3 +333,75 @@ def test_device_coo_builder_matches_host_oracle(kitti_root):
             sparse_pool_point_major(jnp.array(x), dev.rows, dev.cols, dev.vals, t)
         )
         np.testing.assert_allclose(got_pm, got, atol=1e-5)
+
+
+def test_patch_pooling_matches_point_major():
+    """sparse_pool_patch_major_batch (one 2x2-window gather per point) must
+    equal sparse_pool_point_major_batch on device-built corner layouts,
+    including clamped edge windows and zero-weight padding points."""
+
+    import numpy as np
+
+    from sparse_pooling_tpu.ops import sparse_pool as sp
+
+    rng = np.random.RandomState(0)
+    b, hs, ws, c, p, nt = 2, 6, 9, 5, 40, 12
+    src = jnp.array(rng.rand(b, hs, ws, c), jnp.float32)
+    v0 = rng.randint(0, hs - 1, (b, p))
+    u0 = rng.randint(0, ws - 1, (b, p))
+    c00 = v0 * ws + u0
+    cols = np.stack([c00, c00 + 1, c00 + ws, c00 + ws + 1], axis=-1)
+    vals = rng.rand(b, p, 4).astype(np.float32)
+    vals[:, -5:] = 0.0  # padding points
+    rows = rng.randint(0, nt, (b, p))
+
+    got = sp.sparse_pool_patch_major_batch(
+        src, jnp.array(rows, jnp.int32), jnp.array(cols, jnp.int32),
+        jnp.array(vals), num_targets=nt,
+    )
+    want = sp.sparse_pool_point_major_batch(
+        src.reshape(b, hs * ws, c), jnp.array(rows, jnp.int32),
+        jnp.array(cols, jnp.int32), jnp.array(vals), num_targets=nt,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_patch_pooling_grads_match_point_major():
+    """The patch pooling's custom VJP must match the flat path's autodiff
+    gradients for both the source features and the weights."""
+
+    import numpy as np
+
+    from sparse_pooling_tpu.ops import sparse_pool as sp
+
+    rng = np.random.RandomState(1)
+    b, hs, ws, c, p, nt = 2, 5, 7, 3, 20, 8
+    src = jnp.array(rng.rand(b, hs, ws, c), jnp.float32)
+    v0 = rng.randint(0, hs - 1, (b, p))
+    u0 = rng.randint(0, ws - 1, (b, p))
+    c00 = v0 * ws + u0
+    cols = jnp.array(
+        np.stack([c00, c00 + 1, c00 + ws, c00 + ws + 1], axis=-1), jnp.int32
+    )
+    vals = jnp.array(rng.rand(b, p, 4), jnp.float32)
+    rows = jnp.array(rng.randint(0, nt, (b, p)), jnp.int32)
+    cost = jnp.array(rng.rand(b, nt, c), jnp.float32)
+
+    def loss_patch(s, v):
+        return jnp.sum(
+            sp.sparse_pool_patch_major_batch(s, rows, cols, v, nt) * cost
+        )
+
+    def loss_flat(s, v):
+        return jnp.sum(
+            sp.sparse_pool_point_major_batch(
+                s.reshape(b, hs * ws, c), rows, cols, v, nt
+            ) * cost
+        )
+
+    gs_p, gv_p = jax.grad(loss_patch, argnums=(0, 1))(src, vals)
+    gs_f, gv_f = jax.grad(loss_flat, argnums=(0, 1))(src, vals)
+    np.testing.assert_allclose(
+        np.asarray(gs_p), np.asarray(gs_f).reshape(b, hs, ws, c), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_f), atol=1e-6)
