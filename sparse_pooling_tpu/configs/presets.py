@@ -77,7 +77,12 @@ def people_pyramid_config() -> PipelineConfig:
             ),
             # finer ROI pooling: pedestrians/cyclists are ~0.6-0.8 m wide,
             # so the car default of 0.8 m avg-pool cells would wash them out
-            rpn=RpnConfig(bev_roi_stride=4, img_roi_stride=4),
+            # capped-anchor path: the people grid (0.3 m stride, 4
+            # variants) is ~250k dense anchors — the tier-compacted cap
+            # keeps the RPN tractable; cars (44.8k) run the dense grid
+            rpn=RpnConfig(
+                bev_roi_stride=4, img_roi_stride=4, dense_grid=False
+            ),
         ),
     )
 
@@ -120,6 +125,9 @@ def unittest_config(dataset_root: str = "tests/fixtures/kitti") -> PipelineConfi
                 # path gets its own coverage in test_model
                 bev_roi_stride=1,
                 img_roi_stride=1,
+                # capped path at test scale (the dense-grid path gets its
+                # own parity tests + the flagship bench/dryrun coverage)
+                dense_grid=False,
             ),
             avod=AvodStage2Config(fc_layers=(32, 32), nms_size=8),
         ),

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from sparse_pooling_tpu.configs.config import AreaExtents, ModelConfig
 from sparse_pooling_tpu.models.backbone import VggPyramidExtractor
 from sparse_pooling_tpu.models.fusion import SparsePoolFusion
+from sparse_pooling_tpu.ops import anchors as anchor_ops
 from sparse_pooling_tpu.ops import encoders, projection
 from sparse_pooling_tpu.ops.crop_resize import (
     crop_and_resize_batch,
@@ -255,12 +256,21 @@ class SparsePoolingDetector(nn.Module):
         # descriptor-bound, ROADMAP.md)
         n_var = len(c.anchors.sizes) * len(c.anchors.rotations)
 
-        def _rpn_patch_rois(feat, boxes_px_full, stride, proj):
+        def _rpn_patch_rois(feat, boxes_px_full, stride, proj, group=1):
             """avg_pool to the ROI stride -> optional 1x1 channel
             projection -> group-shared patch-einsum crop. ``feat`` is
             already at decode_stride; pooling cell j then covers full-res
             pixels [j*stride, (j+1)*stride), so the full-res px -> pooled
-            coord map is (px - (stride-1)/2) / stride regardless of ds."""
+            coord map is (px - (stride-1)/2) / stride regardless of ds.
+
+            ``group`` > 1 (dense-grid BEV only): a GxG block of NEIGHBOR
+            grid positions shares one window — positions sit
+            anchor_stride/(voxel*stride) pooled cells apart (0.625 for the
+            cars lattice), so grouping costs <2 extra window cells while
+            cutting the descriptor-bound gather G^2 x. The block reshape
+            is purely static (z-major regular grid); the window auto-grows
+            to keep every sample inside it.
+            """
 
             k = stride // ds
             src = nn.avg_pool(feat, (k, k), strides=(k, k)) if k > 1 else feat
@@ -268,6 +278,25 @@ class SparsePoolingDetector(nn.Module):
                 src = proj(src)
             boxes_pooled = (boxes_px_full - (stride - 1) / 2) / stride
             bsz, a = boxes_pooled.shape[:2]
+            if group > 1:
+                import numpy as np
+
+                nz, nx = anchor_ops.grid_shape(c.anchors, ext)
+                g = group
+                while nz % g or nx % g:
+                    g //= 2
+                spacing = c.anchors.stride / (c.bev.voxel_size * stride)
+                patch = c.rpn.roi_patch + int(np.ceil((g - 1) * spacing))
+                nzq, nxq = nz // g, nx // g
+                bq = boxes_pooled.reshape(bsz, nzq, g, nxq, g, n_var, 4)
+                bq = bq.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+                    bsz, nzq * nxq, g * g * n_var, 4
+                )
+                rois = crop_and_resize_group_einsum_px(src, bq, (s, s), patch=patch)
+                rois = rois.reshape(
+                    bsz, nzq, nxq, g, g, n_var, s, s, rois.shape[-1]
+                ).transpose(0, 1, 3, 2, 4, 5, 6, 7, 8)
+                return rois.reshape(bsz, a, s, s, rois.shape[-1])
             rois = crop_and_resize_group_einsum_px(
                 src, boxes_pooled.reshape(bsz, a // n_var, n_var, 4),
                 (s, s), patch=c.rpn.roi_patch,
@@ -278,6 +307,7 @@ class SparsePoolingDetector(nn.Module):
             bev_rois = _rpn_patch_rois(
                 bev_feat, bev_boxes * bev_px_scale, c.rpn.bev_roi_stride,
                 getattr(self, "bev_roi_proj", None),
+                group=c.rpn.bev_roi_group if c.rpn.dense_grid else 1,
             )
         else:
             bev_rois = crop_and_resize_px_batch(

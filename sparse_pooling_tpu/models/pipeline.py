@@ -166,12 +166,24 @@ def build_model_inputs_batch(
     if cfg.architecture == "rcnn":
         valid = jnp.ones(anchors_frame.shape[:2], bool)
         filtered_anchors, filtered_valid = anchors_frame, valid
+    elif cfg.rpn.dense_grid:
+        # dense-grid RPN: score EVERY grid anchor, occupancy as a mask —
+        # no cap, no truncation, no compaction gathers (the reference
+        # scores all nonempty anchors; this is its static-shape twin).
+        # Occupancy counts come from strided slices (zero descriptors).
+        counts = anchor_ops.grid_occupancy_counts(
+            occupancy, extents, cfg.bev, cfg.anchors
+        )
+        valid = (counts >= cfg.anchors.density_threshold).reshape(
+            counts.shape[0], -1
+        )
+        filtered_anchors, filtered_valid = anchors_frame, valid
     else:
-        # position-granular: kept anchors stay grouped by grid position
-        # (all class/rotation variants adjacent), which lets the RPN ROI
-        # crops share ONE gathered patch per position (detector.py); the
-        # grid form does the occupancy query with strided slices (zero
-        # gather descriptors) and falls back to the gather path for
+        # capped path: position-granular compaction — kept anchors stay
+        # grouped by grid position (all class/rotation variants adjacent),
+        # which lets the RPN ROI crops share ONE gathered patch per
+        # position (detector.py); the grid form does the occupancy query
+        # with strided slices and falls back to the gather path for
         # non-integer stride/voxel ratios
         filtered = anchor_ops.filter_anchor_positions_grid(
             anchors_frame, occupancy, extents, cfg.bev, cfg.anchors,

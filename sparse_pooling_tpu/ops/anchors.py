@@ -319,6 +319,65 @@ def _compact_positions(
     return FilteredAnchors(anchors=picked, valid=valid)
 
 
+def grid_occupancy_counts(
+    occupancy: jnp.ndarray,  # [B, H, W]
+    extents: AreaExtents,
+    bev_cfg: BevConfig,
+    anchor_cfg: AnchorConfig,
+) -> jnp.ndarray:
+    """Per-position, per-variant footprint occupancy counts [B, n_pos, V]
+    over the FULL regular anchor grid (z-major order, matching
+    ``generate_anchors_np``), computed with strided slices of the integral
+    image — zero gather descriptors. Requires an integer stride/voxel
+    ratio (raises otherwise; the dense-grid RPN path is gated on it).
+    """
+
+    vs = bev_cfg.voxel_size
+    s_cells = anchor_cfg.stride / vs
+    if abs(s_cells - round(s_cells)) > 1e-6:
+        raise ValueError(
+            f"anchor stride {anchor_cfg.stride} is not an integer number of "
+            f"{vs} m BEV cells"
+        )
+    s = int(round(s_cells))
+    b = occupancy.shape[0]
+    h, w = occupancy.shape[1], occupancy.shape[2]
+    nx = len(np.arange(extents.x_min + anchor_cfg.stride / 2, extents.x_max, anchor_cfg.stride))
+    nz = len(np.arange(extents.z_min + anchor_cfg.stride / 2, extents.z_max, anchor_cfg.stride))
+
+    half = anchor_cfg.stride / 2.0
+    offs = []
+    for l, wd, _h in anchor_cfg.sizes:
+        for rot_idx, _ in enumerate(anchor_cfg.rotations):
+            dim_x, dim_z = (l, wd) if rot_idx % 2 == 0 else (wd, l)
+            offs.append((
+                int(np.floor((half - dim_z / 2) / vs)),
+                int(np.ceil((half + dim_z / 2) / vs)),
+                int(np.floor((half - dim_x / 2) / vs)),
+                int(np.ceil((half + dim_x / 2) / vs)),
+            ))
+
+    pad_t = max(0, -min(o[0] for o in offs))
+    pad_b = max(0, (nz - 1) * s + max(o[1] for o in offs) - h)
+    pad_l = max(0, -min(o[2] for o in offs))
+    pad_r = max(0, (nx - 1) * s + max(o[3] for o in offs) - w)
+    ii = _integral_image_2d_batch(occupancy.astype(jnp.float32))
+    ii = jnp.pad(ii, ((0, 0), (pad_t, pad_b), (pad_l, pad_r)), mode="edge")
+
+    def sl(r_off, c_off):
+        r0 = pad_t + r_off
+        c0 = pad_l + c_off
+        return ii[:, r0 : r0 + (nz - 1) * s + 1 : s, c0 : c0 + (nx - 1) * s + 1 : s]
+
+    return jnp.stack(
+        [
+            sl(r1, c1) - sl(r0, c1) - sl(r1, c0) + sl(r0, c0)
+            for (r0, r1, c0, c1) in offs
+        ],
+        axis=-1,
+    ).reshape(b, nz * nx, len(offs))
+
+
 def filter_anchor_positions_grid(
     anchors: jnp.ndarray,  # [B, N, 8] the z-major static grid + per-frame y
     occupancy: jnp.ndarray,  # [B, H, W]
@@ -333,70 +392,28 @@ def filter_anchor_positions_grid(
     Anchor positions tile a REGULAR grid (``generate_anchors_np``, z-major)
     and each variant's footprint is a STATIC box, so when the anchor stride
     is an integer number of BEV cells every corner lookup of the
-    integral-image query is a strided SLICE of the integral image — the
-    per-corner gathers they replace were the filter's entire cost
-    (~10 ms/batch-4 of descriptor latency, tools/profile_train.py).
-    Clipped corners are reproduced by edge-replicating the integral image.
-    Falls back to ``filter_anchor_positions_batch`` (gather path, also the
-    parity oracle in tests) for non-integer stride/voxel ratios.
+    integral-image query is a strided SLICE of the integral image
+    (``grid_occupancy_counts``) — the per-corner gathers they replace were
+    the filter's entire cost (~10 ms/batch-4 of descriptor latency,
+    tools/profile_train.py). Falls back to
+    ``filter_anchor_positions_batch`` (gather path, also the parity oracle
+    in tests) for non-integer stride/voxel ratios.
     """
 
     variants = len(anchor_cfg.sizes) * len(anchor_cfg.rotations)
-    vs = bev_cfg.voxel_size
-    s_cells = anchor_cfg.stride / vs
+    s_cells = anchor_cfg.stride / bev_cfg.voxel_size
     if abs(s_cells - round(s_cells)) > 1e-6:
         return filter_anchor_positions_batch(
             anchors, occupancy, extents, bev_cfg,
             max_anchors=max_anchors, variants=variants,
             density_threshold=density_threshold,
         )
-    s = int(round(s_cells))
-
-    b = anchors.shape[0]
-    h, w = occupancy.shape[1], occupancy.shape[2]
-    nx = len(np.arange(extents.x_min + anchor_cfg.stride / 2, extents.x_max, anchor_cfg.stride))
-    nz = len(np.arange(extents.z_min + anchor_cfg.stride / 2, extents.z_max, anchor_cfg.stride))
-    n_pos = nz * nx
-    if anchors.shape[1] != n_pos * variants:
+    counts = grid_occupancy_counts(occupancy, extents, bev_cfg, anchor_cfg)
+    if anchors.shape[1] != counts.shape[1] * variants:
         raise ValueError(
-            f"anchors [{anchors.shape[1]}] do not tile the {nz}x{nx} grid "
-            f"with {variants} variants"
+            f"anchors [{anchors.shape[1]}] do not tile the grid of "
+            f"{counts.shape[1]} positions with {variants} variants"
         )
-
-    # static per-variant corner offsets (cells) from each position's cell
-    half = anchor_cfg.stride / 2.0
-    offs = []
-    for l, wd, _h in anchor_cfg.sizes:
-        for rot_idx, _ in enumerate(anchor_cfg.rotations):
-            dim_x, dim_z = (l, wd) if rot_idx % 2 == 0 else (wd, l)
-            offs.append((
-                int(np.floor((half - dim_z / 2) / vs)),  # r0
-                int(np.ceil((half + dim_z / 2) / vs)),  # r1
-                int(np.floor((half - dim_x / 2) / vs)),  # c0
-                int(np.ceil((half + dim_x / 2) / vs)),  # c1
-            ))
-
-    # pad the integral image so clipped corners read edge values (clip
-    # semantics of the gather path: ii[<0] -> 0-row/col, ii[>dim] -> last)
-    pad_t = max(0, -min(o[0] for o in offs))
-    pad_b = max(0, (nz - 1) * s + max(o[1] for o in offs) - h)
-    pad_l = max(0, -min(o[2] for o in offs))
-    pad_r = max(0, (nx - 1) * s + max(o[3] for o in offs) - w)
-    ii = _integral_image_2d_batch(occupancy.astype(jnp.float32))  # [B,H+1,W+1]
-    ii = jnp.pad(ii, ((0, 0), (pad_t, pad_b), (pad_l, pad_r)), mode="edge")
-
-    def sl(r_off, c_off):
-        r0 = pad_t + r_off
-        c0 = pad_l + c_off
-        return ii[:, r0 : r0 + (nz - 1) * s + 1 : s, c0 : c0 + (nx - 1) * s + 1 : s]
-
-    counts = jnp.stack(
-        [
-            sl(r1, c1) - sl(r0, c1) - sl(r1, c0) + sl(r0, c0)
-            for (r0, r1, c0, c1) in offs
-        ],
-        axis=-1,
-    ).reshape(b, n_pos, variants)
     return _compact_positions(anchors, counts, max_anchors, density_threshold)
 
 
@@ -405,3 +422,11 @@ def anchors_per_frame(cfg: AnchorConfig, extents: AreaExtents) -> int:
 
     centers = grid_anchor_centers_xz(extents, cfg.stride)
     return centers.shape[0] * len(cfg.sizes) * len(cfg.rotations)
+
+
+def grid_shape(cfg: AnchorConfig, extents: AreaExtents) -> Tuple[int, int]:
+    """(nz, nx) position-grid dims of the z-major anchor layout."""
+
+    nx = len(np.arange(extents.x_min + cfg.stride / 2, extents.x_max, cfg.stride))
+    nz = len(np.arange(extents.z_min + cfg.stride / 2, extents.z_max, cfg.stride))
+    return nz, nx

@@ -343,3 +343,88 @@ def test_space_to_depth_backbone_shapes_and_grads():
             channels=(8, 16), blocks=(1, 1), out_channels=8,
             dtype=jnp.float32, decode_stride=1, space_to_depth=True,
         ).init(key, x)
+
+
+def test_dense_grid_matches_capped_path(setup):
+    """Dense-grid RPN (all anchors + occupancy mask) must produce the SAME
+    proposal set as the capped/compacted path when the cap does not
+    overflow — same candidate pool, same scores, same NMS."""
+
+    import dataclasses
+
+    from sparse_pooling_tpu.configs import unittest_config
+
+    cfg, ext, model, anchors_static, raw, params = setup
+    base = unittest_config().model
+    dense_cfg = dataclasses.replace(
+        base, rpn=dataclasses.replace(base.rpn, dense_grid=True)
+    )
+    capped_cfg = dataclasses.replace(
+        base,
+        anchors=dataclasses.replace(base.anchors, max_anchors=1024),
+        rpn=dataclasses.replace(base.rpn, dense_grid=False),
+    )
+    keep = jnp.ones((1, 2), jnp.float32)
+    batch = jax.tree.map(lambda x: x[None], raw)
+
+    outs = {}
+    for name, c in (("dense", dense_cfg), ("capped", capped_cfg)):
+        m = pl.make_model(c, ext)
+        grid = jnp.array(pl.static_anchor_grid(c, ext))
+        inp = pl.build_model_inputs_batch(batch, grid, keep, c, ext)
+        p = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+                   inp, train=False)
+        outs[name] = m.apply(p, inp, train=False)
+
+    def prop_set(o):
+        v = np.asarray(o["proposal_valid"][0])
+        props = np.asarray(o["proposals"][0])[v]
+        return {tuple(np.round(row, 3)) for row in props}
+
+    # identical params: both inits see the same layer shapes (params are
+    # anchor-count independent), seeded identically
+    assert prop_set(outs["dense"]) == prop_set(outs["capped"])
+    # dense valid mask covers at least the capped path's valid anchors
+    assert int(np.asarray(outs["dense"]["anchor_valid"]).sum()) >= int(
+        np.asarray(outs["capped"]["anchor_valid"]).sum()
+    )
+
+
+def test_dense_grid_quad_grouping_close_to_ungrouped(setup):
+    """GxG-position window sharing (bev_roi_group) must not change the BEV
+    ROI samples when spans fit the auto-grown window: proposals match the
+    group=1 dense path."""
+
+    import dataclasses
+
+    from sparse_pooling_tpu.configs import unittest_config
+
+    cfg, ext, model, anchors_static, raw, params = setup
+    base = unittest_config().model
+    mk = lambda g: dataclasses.replace(
+        base,
+        rpn=dataclasses.replace(
+            base.rpn, dense_grid=True, bev_roi_stride=2, img_roi_stride=2,
+            roi_channels=4, bev_roi_group=g,
+        ),
+    )
+    keep = jnp.ones((1, 2), jnp.float32)
+    batch = jax.tree.map(lambda x: x[None], raw)
+    outs = {}
+    for g in (1, 2):
+        c = mk(g)
+        m = pl.make_model(c, ext)
+        grid = jnp.array(pl.static_anchor_grid(c, ext))
+        inp = pl.build_model_inputs_batch(batch, grid, keep, c, ext)
+        p = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+                   inp, train=False)
+        outs[g] = m.apply(p, inp, train=False)
+    np.testing.assert_allclose(
+        np.asarray(outs[1]["objectness"]), np.asarray(outs[2]["objectness"]),
+        atol=2e-2,
+    )
+    v1 = np.asarray(outs[1]["proposal_valid"][0])
+    v2 = np.asarray(outs[2]["proposal_valid"][0])
+    p1 = {tuple(np.round(r, 2)) for r in np.asarray(outs[1]["proposals"][0])[v1]}
+    p2 = {tuple(np.round(r, 2)) for r in np.asarray(outs[2]["proposals"][0])[v2]}
+    assert p1 == p2
