@@ -60,7 +60,8 @@ class SparsePoolFusion(nn.Module):
         # not gather descriptors, so the flat form stays (simpler VJP).
         src_flat = src.reshape(b, hs * ws, src.shape[-1])
         pooled = sparse_pool_point_major_batch(
-            src_flat, coo.rows, coo.cols, coo.vals, num_targets=ht * wt
+            src_flat, coo.rows, coo.cols, coo.vals, num_targets=ht * wt,
+            divide_by_weight_sum=coo.defer_row_norm,
         )
         pooled_map = pooled.reshape(b, ht, wt, -1).astype(self.dtype)
         x = jnp.concatenate([native.astype(self.dtype), pooled_map], axis=-1)

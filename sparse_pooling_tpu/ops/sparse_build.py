@@ -16,7 +16,9 @@ oracle; tests compare pooled outputs to <=1e-3.
 
 Unlike the host builder, no dedup/sort is performed (duplicate (t, s)
 entries sum identically in segment-sum; sortedness is not assumed here), and
-rows are normalized with an on-device segment-sum of weights.
+row normalization is DEFERRED into the pooling op itself (the pooled output
+is divided by the pooled weight sum — exact by linearity; see
+``DeviceCoo.defer_row_norm``).
 """
 
 from __future__ import annotations
@@ -52,9 +54,16 @@ class DeviceCoo:
 
     rows: jnp.ndarray  # [..., P] int32 target linear index per point
     cols: jnp.ndarray  # [..., P, 4] int32 source linear indices
-    vals: jnp.ndarray  # [..., P, 4] f32 row-normalized weights
+    vals: jnp.ndarray  # [..., P, 4] f32 weights (see defer_row_norm)
     target_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     source_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
+    # True: vals are RAW bilinear weights and the consumer must divide the
+    # pooled output by the pooled weight sum (division is linear in the
+    # row, so deferring it into the pooling's own segment-sum as an extra
+    # ones-like channel is exact — and removes the builder's normalize
+    # segment-sums + 262k-descriptor denominator gathers from the hot
+    # path). False: vals are final (pre-normalized, or normalization off).
+    defer_row_norm: bool = flax.struct.field(pytree_node=False, default=False)
 
     def flat(self):
         """Expand to flat COO (rows4 [..., 4P], cols4, vals4)."""
@@ -93,33 +102,6 @@ def _bilinear_expand(target_idx, src_u, src_v, valid, source_hw):
     return target_idx, cols, w.astype(jnp.float32)
 
 
-def _normalize_rows(rows, vals, num_targets):
-    """L1-normalize weights within each target row (on-device segment sum).
-
-    Point-major: rows [..., P], vals [..., P, K]. Leading batch dims are
-    flattened into the segment space (ONE segment_sum — vmapping this
-    scatter measured ~4x slower at batch 8, tools/profile_micro.py).
-    """
-
-    per_point = vals.sum(axis=-1)  # [..., P]
-    if rows.ndim == 1:
-        tot = jax.ops.segment_sum(per_point, rows, num_segments=num_targets)
-        denom = jnp.take(tot, rows)
-    else:
-        lead = rows.shape[:-1]
-        bsz = int(np.prod(lead)) if lead else 1
-        roff = (jnp.arange(bsz, dtype=rows.dtype) * num_targets).reshape(
-            *lead, 1
-        )
-        flat_rows = (rows + roff).reshape(-1)
-        tot = jax.ops.segment_sum(
-            per_point.reshape(-1), flat_rows, num_segments=bsz * num_targets
-        )
-        denom = jnp.take(tot, flat_rows).reshape(rows.shape)
-    denom = denom[..., None]
-    return jnp.where(denom > 1e-12, vals / jnp.maximum(denom, 1e-12), 0.0)
-
-
 @functools.partial(
     jax.jit, static_argnames=("extents", "bev_cfg", "img_cfg", "sp_cfg")
 )
@@ -138,9 +120,9 @@ def build_coo_device(
     scales the raw calibration by the image resize factors).
     Semantics match ``data.sparse_matrix.build_sparse_pooling_input``.
 
-    Rank-polymorphic: leading batch dims flow through elementwise; the
-    row-normalization flattens them into ONE segment_sum (the vmapped form
-    lowers to XLA's slow batched scatter — tools/profile_micro.py).
+    Rank-polymorphic: leading batch dims flow through elementwise; there is
+    no scatter here at all — row normalization rides the pooling op's own
+    segment-sum (``DeviceCoo.defer_row_norm``).
     """
 
     s = float(sp_cfg.fusion_stride)
@@ -190,12 +172,16 @@ def build_coo_device(
     rows_b, cols_b, w_b = _bilinear_expand(t_bev, fv_u, fv_v, valid, (ih_f, iw_f))
     rows_f, cols_f, w_f = _bilinear_expand(t_fv, bev_c, bev_r, valid, (bh_f, bw_f))
 
-    if sp_cfg.normalize:
-        w_b = _normalize_rows(rows_b, w_b, bh_f * bw_f)
-        w_f = _normalize_rows(rows_f, w_f, ih_f * iw_f)
-
-    m_bev = DeviceCoo(rows_b, cols_b, w_b, (bh_f, bw_f), (ih_f, iw_f))
-    m_fv = DeviceCoo(rows_f, cols_f, w_f, (ih_f, iw_f), (bh_f, bw_f))
+    # normalization is DEFERRED into the pooling op (defer_row_norm): the
+    # eager form (_normalize_rows) cost two segment-sums plus two
+    # 262k-descriptor denominator gathers per frame pair
+    defer = bool(sp_cfg.normalize)
+    m_bev = DeviceCoo(
+        rows_b, cols_b, w_b, (bh_f, bw_f), (ih_f, iw_f), defer_row_norm=defer
+    )
+    m_fv = DeviceCoo(
+        rows_f, cols_f, w_f, (ih_f, iw_f), (bh_f, bw_f), defer_row_norm=defer
+    )
     return m_bev, m_fv
 
 

@@ -57,20 +57,32 @@ def sparse_pool_point_major(
     vals: jnp.ndarray,  # [P, K] f32 weights (0 on padding)
     num_targets: int,
     indices_are_sorted: bool = False,
+    divide_by_weight_sum: bool = False,
 ) -> jnp.ndarray:
     """Point-major sparse pooling: the K taps of each point are gathered,
     weight-combined on the VPU (fp32), and scattered ONCE — K x less
     segment-sum traffic than the flat COO form (measured 16.6 vs 26.1
     ms/batch at production shapes, tools/profile_micro.py). Gathers run in
     the feature dtype (bf16 in production); the combine accumulates fp32.
+
+    ``divide_by_weight_sum`` performs the deferred row normalization of a
+    ``DeviceCoo(defer_row_norm=True)``: the per-point weight sum rides the
+    SAME segment-sum as one extra channel and the pooled rows are divided
+    by it (exact by linearity; rows with no weight stay 0).
     """
 
     p, k = cols.shape
     g = jnp.take(src_feat, cols.reshape(-1), axis=0).reshape(p, k, -1)
     g = jnp.sum(g.astype(jnp.float32) * vals[..., None], axis=1)
-    return jax.ops.segment_sum(
+    if divide_by_weight_sum:
+        g = jnp.concatenate([g, vals.sum(axis=-1, keepdims=True)], axis=-1)
+    out = jax.ops.segment_sum(
         g, rows, num_segments=num_targets, indices_are_sorted=indices_are_sorted
     )
+    if divide_by_weight_sum:
+        denom = out[:, -1:]
+        out = jnp.where(denom > 1e-12, out[:, :-1] / jnp.maximum(denom, 1e-12), 0.0)
+    return out
 
 
 def sparse_pool_point_major_batch(
@@ -79,6 +91,7 @@ def sparse_pool_point_major_batch(
     cols: jnp.ndarray,  # [B, P, K]
     vals: jnp.ndarray,  # [B, P, K]
     num_targets: int,
+    divide_by_weight_sum: bool = False,
 ) -> jnp.ndarray:
     """Batch-native point-major pooling -> [B, T, C] (flat index offsets,
     one gather + one segment-sum — see ``sparse_pool_coo_batch``)."""
@@ -93,8 +106,19 @@ def sparse_pool_point_major_batch(
         (cols + col_off).reshape(-1, k),
         vals.reshape(-1, k),
         num_targets=b * num_targets,
+        divide_by_weight_sum=divide_by_weight_sum,
     )
     return flat.reshape(b, num_targets, c)
+
+
+def pool_device_coo(src_feat: jnp.ndarray, coo, num_targets: int = None):
+    """Pool a single-sample ``DeviceCoo`` honoring deferred normalization."""
+
+    t = num_targets or coo.target_hw[0] * coo.target_hw[1]
+    return sparse_pool_point_major(
+        src_feat, coo.rows, coo.cols, coo.vals, t,
+        divide_by_weight_sum=coo.defer_row_norm,
+    )
 
 
 def _gather_point_patches(src_map, cols):
