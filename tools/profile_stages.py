@@ -164,7 +164,16 @@ def build_stages(b: int, train: bool):
     anchors_framed = jax.vmap(
         lambda g: pl.anchors_with_ground_y(anchors_grid, g)
     )(batch.ground_plane)
+    # the PRODUCTION filter: strided-slice occupancy + rank-scatter compact
     stages["in_filter"] = (
+        lambda a_, o_: anchor_ops.filter_anchor_positions_grid(
+            a_, o_, ext, cfg.bev, cfg.anchors,
+            max_anchors=cfg.anchors.max_anchors,
+            density_threshold=cfg.anchors.density_threshold,
+        ),
+        (anchors_framed, occ),
+    )
+    stages["in_filter_gather"] = (
         lambda a_, o_: anchor_ops.filter_anchors_batch(
             a_, o_, ext, cfg.bev, max_anchors=cfg.anchors.max_anchors,
             density_threshold=cfg.anchors.density_threshold,
@@ -209,7 +218,13 @@ def build_stages(b: int, train: bool):
     bev_boxes_px = rand_boxes(a_cap, (hb - 4) // max(st, 1), wb // max(st, 1), 6)
     proj_w = jnp.array(rng.rand(1, 1, out_ch, rc), dt)
 
-    def roi_view(feat, boxes, stride):
+    n_var = len(cfg.anchors.sizes) * len(cfg.anchors.rotations)
+
+    def roi_view(feat, boxes, stride, grouped):
+        """The PRODUCTION grouped crop (one window per anchor position,
+        shared by the V class/rotation variants); ``grouped=False`` keeps
+        the per-anchor patch crop for comparison."""
+
         import flax.linen as nn
 
         k = stride // ds
@@ -219,13 +234,27 @@ def build_stages(b: int, train: bool):
                 src, proj_w, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+        if grouped:
+            bsz, a = boxes.shape[:2]
+            rois = cr.crop_and_resize_group_einsum_px(
+                src, boxes.reshape(bsz, a // n_var, n_var, 4), (s, s),
+                patch=cfg.rpn.roi_patch,
+            )
+            return rois.reshape(bsz, a, s, s, rois.shape[-1])
         return cr.crop_and_resize_patch_einsum_px(src, boxes, (s, s), cfg.rpn.roi_patch)
 
-    stages["roi_rpn_bev"] = (lambda f, bx: roi_view(f, bx, st), (bev_feat, bev_boxes_px))
+    stages["roi_rpn_bev"] = (
+        lambda f, bx: roi_view(f, bx, st, True), (bev_feat, bev_boxes_px)
+    )
 
     sti = cfg.rpn.img_roi_stride
     img_boxes_px = rand_boxes(a_cap, hi // max(sti, 1), wi // max(sti, 1), 6)
-    stages["roi_rpn_img"] = (lambda f, bx: roi_view(f, bx, sti), (img_feat, img_boxes_px))
+    stages["roi_rpn_img"] = (
+        lambda f, bx: roi_view(f, bx, sti, True), (img_feat, img_boxes_px)
+    )
+    stages["roi_rpn_bev_ungrouped"] = (
+        lambda f, bx: roi_view(f, bx, st, False), (bev_feat, bev_boxes_px)
+    )
     stages["rpn_head"] = (lambda p, r: rpn_head.apply(p, r), (p_rpn, rois_rpn))
 
     nms_boxes = rand_boxes(a_cap, 1.0, 1.0, 0.05)
