@@ -215,6 +215,15 @@ class RpnConfig:
     # the window size auto-grows to keep sampling exact. Degrades to the
     # largest divisor of the grid dims.
     bev_roi_group: int = 4
+    # >1 (capped path): the anchor filter keeps whole QxQ-position blocks,
+    # so the kept array stays block-contiguous and the ROI crops share one
+    # window per BLOCK (descriptors / Q^2 on the descriptor-bound gather —
+    # the unexplored middle between per-position grouping and the
+    # measured-slower dense grid). Costs cap capacity: a block with one
+    # nonempty position occupies Q^2 * V anchor slots (empty variants are
+    # masked invalid). Falls back to per-position filtering when the grid
+    # dims aren't divisible by Q. 1 = per-position (default).
+    roi_quad: int = 1
     fusion_channels: int = 256  # conv head width after ROI fusion
     nms_iou_thresh: float = 0.8
     train_nms_size: int = 1024

@@ -248,13 +248,24 @@ class SparsePoolingDetector(nn.Module):
 
         ds = c.backbone.decode_stride
 
-        # class/rotation variants per anchor position: the filter keeps
-        # positions whole (pipeline.build_model_inputs_batch), so anchors
-        # arrive grouped [B, P*V, ...] with the V variants of each position
-        # adjacent and sharing box centers — the grouped crop gathers ONE
-        # source patch per POSITION (descriptors / V; the gather is
-        # descriptor-bound, ROADMAP.md)
-        n_var = len(c.anchors.sizes) * len(c.anchors.rotations)
+        # class/rotation variants per FILTER UNIT: the filter keeps units
+        # whole (pipeline.build_model_inputs_batch) — a grid position's V
+        # variants by default, a QxQ-position block's Q*Q*V when
+        # rpn.roi_quad > 1 — so anchors arrive grouped [B, U*n_var, ...]
+        # with each unit's variants adjacent, and the grouped crop gathers
+        # ONE source patch per UNIT (descriptors / n_var; the gather is
+        # descriptor-bound, ROADMAP.md). Quad units add
+        # (Q-1)*stride/(voxel*roi_stride) pooled cells of spread; the
+        # window auto-grows to keep BEV sampling exact.
+        quad = (
+            c.rpn.roi_quad
+            if not c.rpn.dense_grid
+            and anchor_ops.quad_supported(
+                c.anchors, c.bev, ext, c.anchors.max_anchors, c.rpn.roi_quad
+            )
+            else 1
+        )
+        n_var = len(c.anchors.sizes) * len(c.anchors.rotations) * quad * quad
 
         def _rpn_patch_rois(feat, boxes_px_full, stride, proj, group=1):
             """avg_pool to the ROI stride -> optional 1x1 channel
@@ -297,9 +308,15 @@ class SparsePoolingDetector(nn.Module):
                     bsz, nzq, nxq, g, g, n_var, s, s, rois.shape[-1]
                 ).transpose(0, 1, 3, 2, 4, 5, 6, 7, 8)
                 return rois.reshape(bsz, a, s, s, rois.shape[-1])
+            patch = c.rpn.roi_patch
+            if quad > 1:
+                import numpy as np
+
+                spacing = c.anchors.stride / (c.bev.voxel_size * stride)
+                patch += int(np.ceil((quad - 1) * spacing))
             rois = crop_and_resize_group_einsum_px(
                 src, boxes_pooled.reshape(bsz, a // n_var, n_var, 4),
-                (s, s), patch=c.rpn.roi_patch,
+                (s, s), patch=patch,
             )
             return rois.reshape(bsz, a, s, s, rois.shape[-1])
 

@@ -178,6 +178,17 @@ def build_model_inputs_batch(
             counts.shape[0], -1
         )
         filtered_anchors, filtered_valid = anchors_frame, valid
+    elif anchor_ops.quad_supported(
+        cfg.anchors, cfg.bev, extents, cfg.anchors.max_anchors, cfg.rpn.roi_quad
+    ):
+        # capped path, QUAD-granular: whole QxQ-position blocks kept
+        # together so the ROI crops share one window per block
+        filtered = anchor_ops.filter_anchor_quads_grid(
+            anchors_frame, occupancy, extents, cfg.bev, cfg.anchors,
+            max_anchors=cfg.anchors.max_anchors, quad=cfg.rpn.roi_quad,
+            density_threshold=cfg.anchors.density_threshold,
+        )
+        filtered_anchors, filtered_valid = filtered.anchors, filtered.valid
     else:
         # capped path: position-granular compaction — kept anchors stay
         # grouped by grid position (all class/rotation variants adjacent),

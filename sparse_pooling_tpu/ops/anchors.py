@@ -417,6 +417,85 @@ def filter_anchor_positions_grid(
     return _compact_positions(anchors, counts, max_anchors, density_threshold)
 
 
+def quad_supported(
+    anchor_cfg: AnchorConfig,
+    bev_cfg: BevConfig,
+    extents: AreaExtents,
+    max_anchors: int,
+    quad: int,
+) -> bool:
+    """Whether QxQ-block filtering applies to this lattice. The pipeline
+    AND the detector must agree on this (the detector's ROI-group width
+    follows the filter's unit size), so both call this one predicate."""
+
+    if quad <= 1:
+        return False
+    s_cells = anchor_cfg.stride / bev_cfg.voxel_size
+    if abs(s_cells - round(s_cells)) > 1e-6:
+        return False
+    nz, nx = grid_shape(anchor_cfg, extents)
+    variants = len(anchor_cfg.sizes) * len(anchor_cfg.rotations)
+    return (
+        nz % quad == 0
+        and nx % quad == 0
+        and max_anchors % (quad * quad * variants) == 0
+    )
+
+
+def quad_major(x: jnp.ndarray, nz: int, nx: int, quad: int):
+    """[B, nz*nx, ...trailing] position-major -> quad-major
+    [B, (nz//Q)*(nx//Q), Q*Q, ...trailing] (pure static reshape/transpose).
+    """
+
+    b = x.shape[0]
+    trail = x.shape[2:]
+    q = quad
+    xq = x.reshape(b, nz // q, q, nx // q, q, *trail)
+    perm = (0, 1, 3, 2, 4) + tuple(range(5, 5 + len(trail)))
+    return xq.transpose(*perm).reshape(b, (nz // q) * (nx // q), q * q, *trail)
+
+
+def filter_anchor_quads_grid(
+    anchors: jnp.ndarray,  # [B, N, 8] z-major static grid + per-frame y
+    occupancy: jnp.ndarray,  # [B, H, W]
+    extents: AreaExtents,
+    bev_cfg: BevConfig,
+    anchor_cfg: AnchorConfig,
+    max_anchors: int,
+    quad: int,
+    density_threshold: int = 1,
+) -> FilteredAnchors:
+    """QxQ-position-block filter: kept units are whole neighbor blocks.
+
+    Same occupancy query and tier compaction as
+    ``filter_anchor_positions_grid``, but the compaction unit is a QxQ
+    block of grid positions (all Q*Q*V variants adjacent in the kept
+    array), so the detector's grouped ROI crop can share ONE window per
+    BLOCK — Q^2 x fewer gather descriptors on the descriptor-bound crop.
+    A block is kept when ANY of its anchors' footprints holds points;
+    per-anchor validity still reflects each variant's own footprint.
+    Requires grid dims divisible by Q and an integer stride/voxel ratio
+    (callers fall back to the per-position filter otherwise).
+    """
+
+    variants = len(anchor_cfg.sizes) * len(anchor_cfg.rotations)
+    counts = grid_occupancy_counts(occupancy, extents, bev_cfg, anchor_cfg)
+    nz, nx = grid_shape(anchor_cfg, extents)
+    if nz % quad or nx % quad:
+        raise ValueError(f"grid {nz}x{nx} not divisible by quad {quad}")
+    b = anchors.shape[0]
+    unit = quad * quad * variants
+    if max_anchors % unit:
+        raise ValueError(f"max_anchors {max_anchors} not divisible by unit {unit}")
+    counts_q = quad_major(
+        counts.reshape(b, nz * nx, variants), nz, nx, quad
+    ).reshape(b, -1, unit)
+    anchors_q = quad_major(
+        anchors.reshape(b, nz * nx, variants * anchors.shape[-1]), nz, nx, quad
+    ).reshape(b, -1, anchors.shape[-1])
+    return _compact_positions(anchors_q, counts_q, max_anchors, density_threshold)
+
+
 def anchors_per_frame(cfg: AnchorConfig, extents: AreaExtents) -> int:
     """Total grid anchors before filtering (static)."""
 

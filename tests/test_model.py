@@ -428,3 +428,71 @@ def test_dense_grid_quad_grouping_close_to_ungrouped(setup):
     p1 = {tuple(np.round(r, 2)) for r in np.asarray(outs[1]["proposals"][0])[v1]}
     p2 = {tuple(np.round(r, 2)) for r in np.asarray(outs[2]["proposals"][0])[v2]}
     assert p1 == p2
+
+
+def test_quad_filter_matches_position_filter_sets(setup):
+    """QxQ-block filtering keeps the same VALID anchor set as per-position
+    filtering when neither cap overflows, with each block's Q*Q*V anchors
+    contiguous in the kept array."""
+
+    import dataclasses
+
+    from sparse_pooling_tpu.configs.config import AnchorConfig, BevConfig
+    from sparse_pooling_tpu.ops import anchors as anch
+
+    cfg, ext, model, anchors_static, raw, params = setup
+    acfg = AnchorConfig(sizes=(cfg.anchors.sizes[0],), stride=1.6)
+    bev_cfg = BevConfig(voxel_size=0.8)
+    rng = np.random.RandomState(0)
+    grid = anch.generate_anchors_np(acfg, ext, np.array([0.0, -1.0, 0.0, 1.65]))
+    h, w = bev_cfg.grid_hw(ext)
+    occ = (rng.rand(2, h, w) > 0.97).astype(np.float32)
+    ab = jnp.array(np.tile(grid[None].astype(np.float32), (2, 1, 1)))
+    cap = grid.shape[0]  # no overflow
+    cap -= cap % 8
+    got = anch.filter_anchor_quads_grid(
+        ab, jnp.array(occ), ext, bev_cfg, acfg, max_anchors=cap, quad=2
+    )
+    ref = anch.filter_anchor_positions_grid(
+        ab, jnp.array(occ), ext, bev_cfg, acfg, max_anchors=cap
+    )
+    key = lambda r: {
+        tuple(np.round(x, 3))
+        for x in np.asarray(r.anchors[0])[np.asarray(r.valid[0])]
+    }
+    assert key(got) == key(ref)
+
+
+def test_roi_quad_model_parity(setup):
+    """roi_quad=2 (block-shared ROI windows) must reproduce the
+    per-position model's proposals on an even-grid config."""
+
+    import dataclasses
+
+    from sparse_pooling_tpu.configs import unittest_config
+
+    cfg, ext, model, anchors_static, raw, params = setup
+    base = unittest_config().model
+    mk = lambda q: dataclasses.replace(
+        base,
+        anchors=dataclasses.replace(base.anchors, stride=1.6, max_anchors=2048),
+        rpn=dataclasses.replace(
+            base.rpn, bev_roi_stride=2, img_roi_stride=2, roi_channels=4,
+            roi_quad=q,
+        ),
+    )
+    keep = jnp.ones((1, 2), jnp.float32)
+    batch = jax.tree.map(lambda x: x[None], raw)
+    outs = {}
+    for q in (1, 2):
+        c = mk(q)
+        m = pl.make_model(c, ext)
+        grid = jnp.array(pl.static_anchor_grid(c, ext))
+        inp = pl.build_model_inputs_batch(batch, grid, keep, c, ext)
+        p = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+                   inp, train=False)
+        outs[q] = m.apply(p, inp, train=False)
+    for q in (1, 2):
+        v = np.asarray(outs[q]["proposal_valid"][0])
+        outs[q] = {tuple(np.round(r, 2)) for r in np.asarray(outs[q]["proposals"][0])[v]}
+    assert outs[1] == outs[2]
