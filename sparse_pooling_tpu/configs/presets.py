@@ -40,13 +40,13 @@ def cars_pyramid_config() -> PipelineConfig:
         model=ModelConfig(
             classes=("Car",),
             anchors=AnchorConfig(sizes=(CAR_SIZE,)),
-            # 2x2-position-block anchor filtering: the RPN ROI crops share
-            # one window per block — 65.1 -> 74.4 fps/chip measured (the
+            # 4x4-position-block anchor filtering: the RPN ROI crops share
+            # one window per block — 65.1 -> 74.4 (Q=2) -> 80.3 (Q=4) fps/chip (the
             # crop gather is descriptor-bound). Proposal-set parity with
             # per-position filtering is exact when the cap does not
             # overflow (tests); under overflow both paths keep the
             # densest-count tiers first, so objects survive either way.
-            rpn=RpnConfig(roi_quad=2),
+            rpn=RpnConfig(roi_quad=4),
         ),
     )
 
@@ -83,10 +83,12 @@ def people_pyramid_config() -> PipelineConfig:
                 avod_pos_iou=(0.55, 1.0),
             ),
             # finer ROI pooling: pedestrians/cyclists are ~0.6-0.8 m wide,
-            # so the car default of 0.8 m avg-pool cells would wash them out
-            # capped-anchor path: the people grid (0.3 m stride, 4
-            # variants) is ~250k dense anchors — the tier-compacted cap
-            # keeps the RPN tractable; cars (44.8k) run the dense grid
+            # so the car default of 0.8 m avg-pool cells would wash them
+            # out. Capped per-position path: the people grid (0.3 m
+            # stride, 4 variants) is ~250k dense anchors, so the
+            # tier-compacted cap keeps the RPN tractable; its odd grid
+            # dims also fail quad_supported, so roi_quad would fall back
+            # anyway.
             rpn=RpnConfig(
                 bev_roi_stride=4, img_roi_stride=4, dense_grid=False
             ),
