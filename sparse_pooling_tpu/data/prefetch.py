@@ -19,7 +19,13 @@ import jax
 
 
 class DevicePrefetcher:
-    """Wrap a host batch iterator; yields device-resident batches."""
+    """Wrap a host batch iterator; yields device-resident batches.
+
+    Consumers that stop early (the Trainer breaks at max_steps every run)
+    MUST call :meth:`close` (or use the context manager) — otherwise the
+    worker thread stays blocked on ``Queue.put`` holding ``depth``
+    device-resident batches for the process lifetime.
+    """
 
     def __init__(
         self,
@@ -34,32 +40,65 @@ class DevicePrefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Enqueue unless closed; returns False once the consumer is gone."""
+
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _worker(self):
         try:
             for item in self._iter:
+                if self._stop.is_set():
+                    return
                 if self._transform is not None:
                     item = self._transform(item)
-                if self._sharding is not None:
-                    arrays, meta = item
-                    arrays = jax.device_put(arrays, self._sharding)
-                    item = (arrays, meta)
-                else:
-                    arrays, meta = item
-                    arrays = jax.device_put(arrays)
-                    item = (arrays, meta)
-                self._q.put(item)
+                arrays, meta = item
+                arrays = jax.device_put(arrays, self._sharding)
+                if not self._put((arrays, meta)):
+                    return
         except BaseException as e:  # surface loader errors to the consumer
             self._err = e
         finally:
-            self._q.put(self._done)
+            self._put(self._done)
+
+    def close(self, timeout: float = 5.0):
+        """Stop the worker and release its queued device batches.
+
+        Idempotent; safe to call mid-iteration or after exhaustion. Drains
+        the queue so a ``put``-blocked worker can observe the stop flag.
+        """
+
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
         item = self._q.get()
         if item is self._done:
             if self._err is not None:

@@ -3,8 +3,9 @@
 Capability parity with ``avod/experiments/run_training.py``:
 ``python -m sparse_pooling_tpu.experiments.run_training
 --pipeline_config=cfg.json`` (or ``--preset cars``) with data-split and
-device options. Config files are JSON (see ``configs.config``); presets
-mirror the reference's example configs.
+device options. Config files are JSON (see ``configs.config``); shipped
+examples live in ``sparse_pooling_tpu/configs/examples/*.json`` (one per
+preset, the counterpart of the reference's ``avod/configs/*.config``).
 """
 
 from __future__ import annotations

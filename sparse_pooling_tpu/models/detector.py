@@ -50,6 +50,14 @@ def _dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.backbone.compute_dtype == "bfloat16" else jnp.float32
 
 
+def largest_group_divisor(nz: int, nx: int, group: int) -> int:
+    """Largest g <= group dividing BOTH dense-grid dims (ANY divisor, not
+    just powers of two — a configured group 4 on a 6x6 grid runs at 3, not
+    1; the caller logs when the effective group differs)."""
+
+    return max(d for d in range(1, group + 1) if nz % d == 0 and nx % d == 0)
+
+
 class RpnHead(nn.Module):
     """ROI-fused proposal head (reference rpn_model conv/FC layers)."""
 
@@ -293,9 +301,12 @@ class SparsePoolingDetector(nn.Module):
                 import numpy as np
 
                 nz, nx = anchor_ops.grid_shape(c.anchors, ext)
-                g = group
-                while nz % g or nx % g:
-                    g //= 2
+                g = largest_group_divisor(nz, nx, group)
+                if g != group:
+                    print(
+                        f"[detector] bev_roi_group={group} does not divide the "
+                        f"{nz}x{nx} anchor grid; using largest divisor {g}"
+                    )
                 spacing = c.anchors.stride / (c.bev.voxel_size * stride)
                 patch = c.rpn.roi_patch + int(np.ceil((g - 1) * spacing))
                 nzq, nxq = nz // g, nx // g

@@ -15,6 +15,7 @@ No custom collectives: XLA inserts psum/all-gather from the shardings.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -52,6 +53,22 @@ def auto_mesh(
     devices = list(devices if devices is not None else jax.devices())
     avail = max(len(devices) // max(n_model, 1), 1)
     n_data = max(d for d in range(1, avail + 1) if batch_size % d == 0)
+    if n_data * n_model < len(devices):
+        # never silently idle chips: an indivisible batch (e.g. batch 4 on
+        # an 8-chip host) strands the remainder with zero work
+        good = sorted(
+            b for b in (avail * k for k in range(1, 5)) if b >= batch_size
+        )
+        suggestion = (
+            f"; use batch_size {good[0]} (or any multiple of {avail}) to "
+            f"fill the mesh" if good else ""
+        )
+        warnings.warn(
+            f"auto_mesh uses {n_data * n_model} of {len(devices)} devices: "
+            f"batch_size {batch_size} has no larger divisor <= {avail} "
+            f"(model_parallel={n_model}){suggestion}",
+            stacklevel=2,
+        )
     if n_data * n_model <= 1:
         return None
     return make_mesh(n_data, n_model, devices)

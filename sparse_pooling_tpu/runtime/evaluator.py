@@ -109,22 +109,24 @@ class Evaluator:
         prefetch = DevicePrefetcher(self._host_batches(bsz), depth=2)
         n = 0
         t0 = time.time()
-        for batch, (chunk, samples) in prefetch:
-            det_b = jax.tree.map(np.asarray, self._eval_fn(params, batch))
-            for i, sid in enumerate(chunk):
-                det = jax.tree.map(lambda x: x[i], det_b)
-                sample = samples[i]
-                # predictions are written in RAW image coords: rescale P2 back
-                sy = cfg.model.image.height / sample.raw_image_hw[0]
-                sx = cfg.model.image.width / sample.raw_image_hw[1]
-                p2_raw = sample.p2.astype(np.float64).copy()
-                p2_raw[0] /= sx
-                p2_raw[1] /= sy
-                pred_mod.write_predictions(
-                    pred_dir, sid, det, cfg.model.classes, p2_raw,
-                    sample.raw_image_hw, score_threshold=thresh,
-                )
-                n += 1
+        with prefetch:  # release the worker even if forward/write raises
+            for batch, (chunk, samples) in prefetch:
+                det_b = jax.tree.map(np.asarray, self._eval_fn(params, batch))
+                for i, sid in enumerate(chunk):
+                    det = jax.tree.map(lambda x: x[i], det_b)
+                    sample = samples[i]
+                    # predictions are written in RAW image coords: rescale
+                    # P2 back
+                    sy = cfg.model.image.height / sample.raw_image_hw[0]
+                    sx = cfg.model.image.width / sample.raw_image_hw[1]
+                    p2_raw = sample.p2.astype(np.float64).copy()
+                    p2_raw[0] /= sx
+                    p2_raw[1] /= sy
+                    pred_mod.write_predictions(
+                        pred_dir, sid, det, cfg.model.classes, p2_raw,
+                        sample.raw_image_hw, score_threshold=thresh,
+                    )
+                    n += 1
         dt = time.time() - t0
 
         # image summary: first val frame with drawn predictions (reference:

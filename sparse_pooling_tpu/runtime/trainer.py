@@ -198,28 +198,31 @@ class Trainer:
                 transform=lambda item: (pl.RawSample(*item[0]), item[1]),
                 sharding=batch_sharding,
             )
-            for batch, _ids in prefetch:
-                rng, step_rng = jax.random.split(rng)
-                params, opt_state, metrics = train_step(
-                    params, opt_state, batch, step_rng
-                )
-                step += 1
-                if step % cfg.train.summary_interval == 0:
-                    metrics = {k: float(v) for k, v in metrics.items()}
-                    dt = time.time() - t_last
-                    t_last = time.time()
-                    rate = cfg.train.summary_interval * bsz / max(dt, 1e-9)
-                    self.summary.scalars(step, {**metrics, "frames_per_sec": rate})
-                    print(
-                        f"[trainer] step {step} total={metrics['total']:.4f} "
-                        f"rpn_obj={metrics['rpn_objectness']:.4f} "
-                        f"cls={metrics['cls']:.4f} fps={rate:.1f}"
+            with prefetch:  # early break must release the worker + batches
+                for batch, _ids in prefetch:
+                    rng, step_rng = jax.random.split(rng)
+                    params, opt_state, metrics = train_step(
+                        params, opt_state, batch, step_rng
                     )
-                if step % cfg.train.checkpoint_interval == 0 or step >= max_steps:
-                    # async: serialization overlaps the next steps
-                    writer.save(step, {"params": params, "opt_state": opt_state})
-                if step >= max_steps:
-                    break
+                    step += 1
+                    if step % cfg.train.summary_interval == 0:
+                        metrics = {k: float(v) for k, v in metrics.items()}
+                        dt = time.time() - t_last
+                        t_last = time.time()
+                        rate = cfg.train.summary_interval * bsz / max(dt, 1e-9)
+                        self.summary.scalars(
+                            step, {**metrics, "frames_per_sec": rate}
+                        )
+                        print(
+                            f"[trainer] step {step} total={metrics['total']:.4f} "
+                            f"rpn_obj={metrics['rpn_objectness']:.4f} "
+                            f"cls={metrics['cls']:.4f} fps={rate:.1f}"
+                        )
+                    if step % cfg.train.checkpoint_interval == 0 or step >= max_steps:
+                        # async: serialization overlaps the next steps
+                        writer.save(step, {"params": params, "opt_state": opt_state})
+                    if step >= max_steps:
+                        break
             epoch += 1
 
         writer.close()  # flush in-flight saves before handing state back

@@ -164,8 +164,20 @@ def build_stages(b: int, train: bool):
     anchors_framed = jax.vmap(
         lambda g: pl.anchors_with_ground_y(anchors_grid, g)
     )(batch.ground_plane)
-    # the PRODUCTION filter: strided-slice occupancy + rank-scatter compact
-    stages["in_filter"] = (
+    # the PRODUCTION filter (cars preset: quad blocks at rpn.roi_quad)
+    if cfg.rpn.roi_quad > 1 and anchor_ops.quad_supported(
+        cfg.anchors, cfg.bev, ext, cfg.anchors.max_anchors, cfg.rpn.roi_quad
+    ):
+        stages["in_filter"] = (
+            lambda a_, o_: anchor_ops.filter_anchor_quads_grid(
+                a_, o_, ext, cfg.bev, cfg.anchors,
+                max_anchors=cfg.anchors.max_anchors, quad=cfg.rpn.roi_quad,
+                density_threshold=cfg.anchors.density_threshold,
+            ),
+            (anchors_framed, occ),
+        )
+    # per-position filter: the production path when roi_quad == 1
+    stages["in_filter_pos"] = (
         lambda a_, o_: anchor_ops.filter_anchor_positions_grid(
             a_, o_, ext, cfg.bev, cfg.anchors,
             max_anchors=cfg.anchors.max_anchors,
