@@ -48,6 +48,15 @@ def main():
         _synthetic_raw(cfg, ext, n_points=16384, seed=i) for i in range(batch_size)
     ]
     batch = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+    # the host pipeline pads each batch to its point BUCKET, not the cap
+    # (data.pointcloud.trim_points_to_bucket) — bench does the same
+    from sparse_pooling_tpu.data.pointcloud import trim_points_to_bucket
+    import numpy as np
+    pts, mask = trim_points_to_bucket(
+        np.asarray(batch.points), np.asarray(batch.points_mask),
+        cfg.sparse_pool.buckets,
+    )
+    batch = batch._replace(points=jnp.array(pts), points_mask=jnp.array(mask))
     key = jax.random.PRNGKey(0)
     raw0 = jax.tree.map(lambda x: x[0], batch)
 

@@ -98,6 +98,16 @@ class SparsePoolConfig:
     """
 
     fusion_stride: int = 8  # fuse at 1/8-resolution feature lattices
+    # Static point-capacity BUCKETS below max_points: the host pads each
+    # batch to the smallest bucket holding every frame's valid points
+    # instead of always to max_points, so the voxelizer / COO build /
+    # SHPL pooling costs track the TRUE point count (~16k on KITTI-like
+    # frames vs the 32k cap — the pooling scatters B*P entries at
+    # ~18 ns/entry, so half the padding was half the fusion cost wasted).
+    # Each bucket compiles its own XLA graph (bounded recompilation:
+    # len(buckets)+1 graphs); () disables bucketing. Buckets >= max_points
+    # are ignored, so small-cap configs (unittest) are unaffected.
+    point_buckets: Tuple[int, ...] = (8192, 16384)
     # Device representation of M. "coo" (default) is exact: gather + sorted
     # segment-sum, measured ~30 us/frame on TPU v5e. "ell" keeps only the
     # top-K sources per target cell (renormalized) — an approximation that
@@ -116,6 +126,13 @@ class SparsePoolConfig:
     @property
     def coo_cap(self) -> int:
         return 4 * self.max_points
+
+    @property
+    def buckets(self) -> Tuple[int, ...]:
+        """Ascending effective point capacities (always ends at max_points)."""
+
+        below = sorted({int(b) for b in self.point_buckets if 0 < b < self.max_points})
+        return tuple(below) + (self.max_points,)
 
 
 @_freeze

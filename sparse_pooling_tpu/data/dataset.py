@@ -191,4 +191,12 @@ class KittiDataset:
                 np.stack([s.as_arrays()[i] for s in samples])
                 for i in range(8)
             )
-            yield stacked, chunk
+            yield self._bucket(stacked), chunk
+
+    def _bucket(self, stacked: tuple) -> tuple:
+        """Trim the padded point arrays to the batch's point bucket."""
+
+        pts, mask = pointcloud.trim_points_to_bucket(
+            stacked[0], stacked[1], self.model_cfg.sparse_pool.buckets
+        )
+        return (pts, mask) + stacked[2:]

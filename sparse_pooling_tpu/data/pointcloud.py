@@ -119,3 +119,24 @@ def pad_or_subsample(
     mask = np.zeros((cap,), dtype=bool)
     mask[:n] = True
     return out, mask
+
+
+def trim_points_to_bucket(
+    points_b: np.ndarray,  # [B, cap, 3] prefix-packed (pad_or_subsample)
+    mask_b: np.ndarray,  # [B, cap] bool
+    buckets,  # ascending capacities, last == cap (SparsePoolConfig.buckets)
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Slice a stacked batch's padded point arrays to the smallest bucket
+    holding every frame's valid points (SparsePoolConfig.point_buckets).
+
+    Valid points are a PREFIX of each row (``pad_or_subsample`` packs them
+    first), so the slice is lossless; downstream device costs (voxelize,
+    COO build, SHPL pooling scatters) then track the true point count
+    instead of the cap. Each distinct bucket compiles one XLA graph.
+    """
+
+    n = int(mask_b.sum(axis=1).max()) if mask_b.size else 0
+    for b in buckets:
+        if b >= n:
+            return points_b[:, :b], mask_b[:, :b]
+    return points_b, mask_b

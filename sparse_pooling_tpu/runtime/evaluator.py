@@ -78,8 +78,11 @@ class Evaluator:
             samples = [self.dataset.load_sample(s, augment_seed=None) for s in chunk]
             while len(samples) < batch_size:
                 samples.append(samples[-1])
-            arrays = tuple(
-                np.stack([s.as_arrays()[i] for s in samples]) for i in range(8)
+            arrays = self.dataset._bucket(
+                tuple(
+                    np.stack([s.as_arrays()[i] for s in samples])
+                    for i in range(8)
+                )
             )
             yield pl.RawSample(*arrays), (chunk, samples)
 

@@ -172,3 +172,105 @@ def test_pad_or_subsample():
     assert out.shape == (4, 3) and mask.all()
     # subsample preserves order and draws from the original rows
     assert all(any((row == pts[i]).all() for i in range(10)) for row in out)
+
+
+# ---------------------------------------------------------------- buckets
+def test_sparse_pool_buckets_property():
+    from sparse_pooling_tpu.configs.config import SparsePoolConfig
+
+    sp = SparsePoolConfig(max_points=32768, point_buckets=(8192, 16384))
+    assert sp.buckets == (8192, 16384, 32768)
+    # buckets >= max_points are ignored (small-cap configs unaffected)
+    sp_small = SparsePoolConfig(max_points=1024, point_buckets=(8192, 16384))
+    assert sp_small.buckets == (1024,)
+    # disabled
+    assert SparsePoolConfig(max_points=4096, point_buckets=()).buckets == (4096,)
+
+
+def test_trim_points_to_bucket_boundaries():
+    buckets = (8, 16, 32)
+    pts = np.arange(2 * 32 * 3, dtype=np.float32).reshape(2, 32, 3)
+    mask = np.zeros((2, 32), bool)
+    mask[0, :5] = True
+    mask[1, :7] = True  # batch max 7 -> bucket 8
+    p, m = pointcloud.trim_points_to_bucket(pts, mask, buckets)
+    assert p.shape == (2, 8, 3) and m.shape == (2, 8)
+    np.testing.assert_array_equal(p, pts[:, :8])
+
+    mask[1, :9] = True  # batch max 9 -> bucket 16
+    p, m = pointcloud.trim_points_to_bucket(pts, mask, buckets)
+    assert p.shape == (2, 16, 3)
+
+    mask[1, :] = True  # full -> cap
+    p, m = pointcloud.trim_points_to_bucket(pts, mask, buckets)
+    assert p.shape == (2, 32, 3)
+    # boundary: exactly the bucket size stays in that bucket
+    mask[:] = False
+    mask[0, :16] = True
+    p, m = pointcloud.trim_points_to_bucket(pts, mask, buckets)
+    assert p.shape == (2, 16, 3)
+    assert m[0].sum() == 16
+
+
+def test_bucketed_batch_device_parity():
+    """Voxelizer + SHPL pooling must give IDENTICAL results for a frame
+    padded to a bucket vs the full cap (the padding carries weight 0)."""
+
+    import jax.numpy as jnp
+
+    from sparse_pooling_tpu.configs.config import (
+        BevConfig as BC,
+        ImageConfig,
+        SparsePoolConfig,
+    )
+    from sparse_pooling_tpu.ops import bev_device, sparse_build
+    from sparse_pooling_tpu.ops.sparse_pool import sparse_pool_point_major_batch
+
+    ext = AreaExtents()
+    bev_cfg = BC(voxel_size=0.8, pad_h=0)
+    img_cfg = ImageConfig(height=48, width=160)
+    sp = SparsePoolConfig(fusion_stride=2, max_points=64, point_buckets=(16,))
+
+    rng = np.random.RandomState(0)
+    n_valid = 12
+    pts = np.zeros((1, 64, 3), np.float32)
+    pts[0, :n_valid] = np.stack(
+        [
+            rng.uniform(-20, 20, n_valid),
+            rng.uniform(0.5, 2.0, n_valid),
+            rng.uniform(5, 50, n_valid),
+        ],
+        axis=-1,
+    )
+    mask = np.zeros((1, 64), bool)
+    mask[0, :n_valid] = True
+    p2 = np.array(
+        [[100.0, 0, 80.0, 0], [0, 100.0, 24.0, 0], [0, 0, 1, 0]], np.float32
+    )[None]
+    plane = np.array([[0.0, -1.0, 0.0, 1.65]], np.float32)
+
+    pts_b, mask_b = pointcloud.trim_points_to_bucket(pts, mask, sp.buckets)
+    assert pts_b.shape[1] == 16
+
+    outs = []
+    for p_, m_ in ((pts, mask), (pts_b, mask_b)):
+        bev_maps = bev_device.bev_maps_from_points_batch(
+            jnp.array(p_), jnp.array(m_), jnp.array(plane), ext, bev_cfg
+        )
+        m_bev, m_fv = sparse_build.build_coo_device(
+            jnp.array(p_), jnp.array(m_), jnp.array(p2), ext, bev_cfg,
+            img_cfg, sp,
+        )
+        src = jnp.array(
+            rng.rand(1, (img_cfg.height // 2) * (img_cfg.width // 2), 4),
+            jnp.float32,
+        ) * 0 + 1.0  # deterministic source features
+        pooled = sparse_pool_point_major_batch(
+            src, m_bev.rows, m_bev.cols, m_bev.vals,
+            num_targets=m_bev.target_hw[0] * m_bev.target_hw[1],
+            divide_by_weight_sum=m_bev.defer_row_norm,
+        )
+        outs.append((np.asarray(bev_maps), np.asarray(pooled)))
+
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])

@@ -12,7 +12,10 @@ Prints one line per stage: name, ms/batch, ms/frame.
 from __future__ import annotations
 
 import argparse
+import sys
 import time
+
+sys.path.insert(0, ".")  # run as `python tools/profile_stages.py` from repo root
 
 
 def timed(body, args, n=10):
@@ -231,11 +234,14 @@ def build_stages(b: int, train: bool):
     proj_w = jnp.array(rng.rand(1, 1, out_ch, rc), dt)
 
     n_var = len(cfg.anchors.sizes) * len(cfg.anchors.rotations)
+    # production group width: Q*Q positions x V variants share one window
+    # (cars preset roi_quad=4); the window grows with the block spread like
+    # detector._rpn_patch_rois does
+    quad = cfg.rpn.roi_quad if not cfg.rpn.dense_grid else 1
 
-    def roi_view(feat, boxes, stride, grouped):
-        """The PRODUCTION grouped crop (one window per anchor position,
-        shared by the V class/rotation variants); ``grouped=False`` keeps
-        the per-anchor patch crop for comparison."""
+    def roi_view(feat, boxes, stride, group_w, extra_patch=0):
+        """``group_w`` boxes share one gathered window (production:
+        quad*quad*n_var); ``group_w=1`` is the per-anchor patch crop."""
 
         import flax.linen as nn
 
@@ -246,26 +252,39 @@ def build_stages(b: int, train: bool):
                 src, proj_w, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-        if grouped:
+        if group_w > 1:
             bsz, a = boxes.shape[:2]
             rois = cr.crop_and_resize_group_einsum_px(
-                src, boxes.reshape(bsz, a // n_var, n_var, 4), (s, s),
-                patch=cfg.rpn.roi_patch,
+                src, boxes.reshape(bsz, a // group_w, group_w, 4), (s, s),
+                patch=cfg.rpn.roi_patch + extra_patch,
             )
             return rois.reshape(bsz, a, s, s, rois.shape[-1])
         return cr.crop_and_resize_patch_einsum_px(src, boxes, (s, s), cfg.rpn.roi_patch)
 
+    def quad_extra(stride):
+        spacing = cfg.anchors.stride / (cfg.bev.voxel_size * stride)
+        return int(np.ceil((quad - 1) * spacing))
+
     stages["roi_rpn_bev"] = (
-        lambda f, bx: roi_view(f, bx, st, True), (bev_feat, bev_boxes_px)
+        lambda f, bx: roi_view(
+            f, bx, st, quad * quad * n_var, quad_extra(st) if quad > 1 else 0
+        ),
+        (bev_feat, bev_boxes_px),
     )
 
     sti = cfg.rpn.img_roi_stride
     img_boxes_px = rand_boxes(a_cap, hi // max(sti, 1), wi // max(sti, 1), 6)
     stages["roi_rpn_img"] = (
-        lambda f, bx: roi_view(f, bx, sti, True), (img_feat, img_boxes_px)
+        lambda f, bx: roi_view(
+            f, bx, sti, quad * quad * n_var, quad_extra(sti) if quad > 1 else 0
+        ),
+        (img_feat, img_boxes_px),
+    )
+    stages["roi_rpn_bev_pos"] = (
+        lambda f, bx: roi_view(f, bx, st, n_var), (bev_feat, bev_boxes_px)
     )
     stages["roi_rpn_bev_ungrouped"] = (
-        lambda f, bx: roi_view(f, bx, st, False), (bev_feat, bev_boxes_px)
+        lambda f, bx: roi_view(f, bx, st, 1), (bev_feat, bev_boxes_px)
     )
     stages["rpn_head"] = (lambda p, r: rpn_head.apply(p, r), (p_rpn, rois_rpn))
 
