@@ -351,6 +351,9 @@ class EvalConfig:
     batch_size: int = 8
     eval_interval: int = 1000  # evaluate every new checkpoint >= this spacing
     kitti_score_threshold: float = 0.1
+    # threads loading samples WITHIN a val batch (PNG decode + pad release
+    # the GIL); the DevicePrefetcher overlaps across batches
+    num_workers: int = 4
 
 
 @_freeze
