@@ -426,20 +426,21 @@ def quad_supported(
 ) -> bool:
     """Whether QxQ-block filtering applies to this lattice. The pipeline
     AND the detector must agree on this (the detector's ROI-group width
-    follows the filter's unit size), so both call this one predicate."""
+    follows the filter's unit size), so both call this one predicate.
+
+    Non-divisible grid dims are fine — ``filter_anchor_quads_grid`` pads
+    the count lattice with empty positions to the next multiple of Q
+    (padded positions are never kept: their counts are 0), so e.g. the
+    people preset's 233x267 grid quad-filters too.
+    """
 
     if quad <= 1:
         return False
     s_cells = anchor_cfg.stride / bev_cfg.voxel_size
     if abs(s_cells - round(s_cells)) > 1e-6:
         return False
-    nz, nx = grid_shape(anchor_cfg, extents)
     variants = len(anchor_cfg.sizes) * len(anchor_cfg.rotations)
-    return (
-        nz % quad == 0
-        and nx % quad == 0
-        and max_anchors % (quad * quad * variants) == 0
-    )
+    return max_anchors % (quad * quad * variants) == 0
 
 
 def quad_major(x: jnp.ndarray, nz: int, nx: int, quad: int):
@@ -474,24 +475,35 @@ def filter_anchor_quads_grid(
     BLOCK — Q^2 x fewer gather descriptors on the descriptor-bound crop.
     A block is kept when ANY of its anchors' footprints holds points;
     per-anchor validity still reflects each variant's own footprint.
-    Requires grid dims divisible by Q and an integer stride/voxel ratio
-    (callers fall back to the per-position filter otherwise).
+    Non-Q-divisible grid dims are padded with EMPTY positions to the next
+    multiple of Q (count 0 -> never kept, so the kept set is identical to
+    an unpadded filter's); requires an integer stride/voxel ratio (callers
+    fall back to the per-position filter otherwise).
     """
 
     variants = len(anchor_cfg.sizes) * len(anchor_cfg.rotations)
     counts = grid_occupancy_counts(occupancy, extents, bev_cfg, anchor_cfg)
     nz, nx = grid_shape(anchor_cfg, extents)
-    if nz % quad or nx % quad:
-        raise ValueError(f"grid {nz}x{nx} not divisible by quad {quad}")
     b = anchors.shape[0]
     unit = quad * quad * variants
     if max_anchors % unit:
         raise ValueError(f"max_anchors {max_anchors} not divisible by unit {unit}")
+    pz = (-nz) % quad
+    px = (-nx) % quad
+    counts_g = counts.reshape(b, nz, nx, variants)
+    anchors_g = anchors.reshape(b, nz, nx, variants * anchors.shape[-1])
+    if pz or px:
+        counts_g = jnp.pad(counts_g, ((0, 0), (0, pz), (0, px), (0, 0)))
+        # padded positions reuse the edge anchor geometry; they are never
+        # kept (count 0), so the values only fill never-valid slots
+        anchors_g = jnp.pad(anchors_g, ((0, 0), (0, pz), (0, px), (0, 0)), mode="edge")
+    nzq, nxq = nz + pz, nx + px
     counts_q = quad_major(
-        counts.reshape(b, nz * nx, variants), nz, nx, quad
+        counts_g.reshape(b, nzq * nxq, variants), nzq, nxq, quad
     ).reshape(b, -1, unit)
     anchors_q = quad_major(
-        anchors.reshape(b, nz * nx, variants * anchors.shape[-1]), nz, nx, quad
+        anchors_g.reshape(b, nzq * nxq, variants * anchors.shape[-1]),
+        nzq, nxq, quad,
     ).reshape(b, -1, anchors.shape[-1])
     return _compact_positions(anchors_q, counts_q, max_anchors, density_threshold)
 

@@ -463,6 +463,40 @@ def test_quad_filter_matches_position_filter_sets(setup):
     assert key(got) == key(ref)
 
 
+def test_quad_filter_pads_non_divisible_grid(setup):
+    """Grid dims NOT divisible by Q pad with empty positions; the kept
+    valid anchor set still equals the per-position filter's (the people
+    preset's 233x267 grid relies on this)."""
+
+    from sparse_pooling_tpu.configs.config import AnchorConfig, BevConfig
+    from sparse_pooling_tpu.ops import anchors as anch
+
+    cfg, ext, model, anchors_static, raw, params = setup
+    acfg = AnchorConfig(sizes=(cfg.anchors.sizes[0],), stride=1.6)
+    bev_cfg = BevConfig(voxel_size=0.8)
+    nz, nx = anch.grid_shape(acfg, ext)
+    assert nz % 4 or nx % 4, "fixture grid must be non-divisible by 4"
+    assert anch.quad_supported(acfg, bev_cfg, ext, 2048 - 2048 % 32, 4)
+    rng = np.random.RandomState(1)
+    grid = anch.generate_anchors_np(acfg, ext, np.array([0.0, -1.0, 0.0, 1.65]))
+    h, w = bev_cfg.grid_hw(ext)
+    occ = (rng.rand(2, h, w) > 0.97).astype(np.float32)
+    ab = jnp.array(np.tile(grid[None].astype(np.float32), (2, 1, 1)))
+    cap = grid.shape[0] * 16 // 1  # generous: no overflow even with Q^2 slack
+    cap -= cap % 32
+    got = anch.filter_anchor_quads_grid(
+        ab, jnp.array(occ), ext, bev_cfg, acfg, max_anchors=cap, quad=4
+    )
+    ref = anch.filter_anchor_positions_grid(
+        ab, jnp.array(occ), ext, bev_cfg, acfg, max_anchors=cap
+    )
+    key = lambda r: {
+        tuple(np.round(x, 3))
+        for x in np.asarray(r.anchors[0])[np.asarray(r.valid[0])]
+    }
+    assert key(got) == key(ref)
+
+
 def test_roi_quad_model_parity(setup):
     """roi_quad=2 (block-shared ROI windows) must reproduce the
     per-position model's proposals on an even-grid config."""
