@@ -421,6 +421,16 @@ def _group_starts(boxes_px, h, w, crop_hw, patch):
     window equals every variant's own centered window; in the image view the
     projected mids differ by a few px and the shared window is the group
     centroid (samples clamp to the window edge like the ungrouped path).
+
+    MEASURED (cars projection geometry, Q=4 blocks, stride-4 image
+    lattice; tests/test_model.py::test_quad_image_view_geometry_*): the
+    image-view displacement vs exact bilinear coords is dominated by SPAN
+    clamping — near-range boxes span 20-100 pooled cells vs the 8-12-cell
+    window — which the per-anchor windowed path has identically (mean
+    24.0 vs 23.8 cells at z<10 m); block sharing adds <1 cell of mean
+    error in every range band and its larger window is slightly MORE
+    accurate beyond 40 m. Exact sampling remains available via
+    roi_stride=1 (full crop_and_resize).
     """
 
     b, p, v, _ = boxes_px.shape

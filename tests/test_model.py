@@ -497,6 +497,82 @@ def test_quad_filter_pads_non_divisible_grid(setup):
     assert key(got) == key(ref)
 
 
+def test_quad_image_view_geometry_at_production_projection(setup):
+    """Round-2 advisor: Q=4 block-shared IMAGE-view windows were suspected
+    of being geometrically wrong at near range. Measured at the REAL cars
+    projection geometry (fx ~181 pooled px, stride-4 image lattice), the
+    block-shared window's sample displacement vs exact bilinear coords is
+    DOMINATED by the span clamping the per-anchor windowed path already
+    has: quad adds < 1 pooled cell of mean error on top, at every range
+    band (near-range boxes span 20-100 pooled cells, so BOTH paths clamp
+    to a centered context crop by design; exact sampling is available via
+    img_roi_stride=1). This test pins that marginal-error bound.
+    """
+
+    from sparse_pooling_tpu.configs import AreaExtents, cars_pyramid_config
+    from sparse_pooling_tpu.ops import anchors as anchor_ops
+    from sparse_pooling_tpu.ops import projection
+    from sparse_pooling_tpu.ops.crop_resize import (
+        _coords,
+        _group_coords,
+        _patch_coords,
+    )
+
+    cfg = cars_pyramid_config().model
+    ext = AreaExtents()
+    Q, V = 4, 2
+    grid = pl.static_anchor_grid(cfg, ext)
+    fx = 721.0 * cfg.image.width / 1242.0
+    fy = 721.0 * cfg.image.height / 375.0
+    p2 = np.array(
+        [[fx, 0, cfg.image.width / 2, 0], [0, fy, cfg.image.height / 2, 0],
+         [0, 0, 1, 0]], np.float32,
+    )
+    img_hw = (cfg.image.height, cfg.image.width)
+    boxes = projection.project_to_image_space(
+        jnp.array(grid[None, :, :6]), jnp.array(p2)[None], img_hw
+    )
+    stride = cfg.rpn.img_roi_stride
+    scale = np.array(
+        [img_hw[0] - 1, img_hw[1] - 1, img_hw[0] - 1, img_hw[1] - 1], np.float32
+    )
+    bx = (np.asarray(boxes)[0] * scale - (stride - 1) / 2) / stride
+    nz, nx = anchor_ops.grid_shape(cfg.anchors, ext)
+    bq = jnp.array(
+        bx.reshape(nz // Q, Q, nx // Q, Q, V, 4)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(1, -1, Q * Q * V, 4)
+    )
+    h_p, w_p = img_hw[0] // stride, img_hw[1] // stride
+    spacing = cfg.anchors.stride / (cfg.bev.voxel_size * stride)
+    patch = cfg.rpn.roi_patch + int(np.ceil((Q - 1) * spacing))
+    s = cfg.rpn.proposal_roi_size
+
+    ys_q, xs_q = _group_coords(bq, h_p, w_p, (s, s), patch)
+    flat = bq.reshape(1, -1, 4)
+    ys_ex, xs_ex = _coords(flat, h_p, w_p, (s, s))
+    ys_pp, xs_pp = _patch_coords(flat, h_p, w_p, (s, s), cfg.rpn.roi_patch)
+
+    err = lambda ys, xs: np.maximum(
+        np.abs(np.asarray(ys - ys_ex))[0].max(-1),
+        np.abs(np.asarray(xs - xs_ex))[0].max(-1),
+    )
+    err_quad, err_per = err(ys_q, xs_q), err(ys_pp, xs_pp)
+    az = (
+        grid[:, 2]
+        .reshape(nz // Q, Q, nx // Q, Q, V)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(-1)
+    )
+    for lo, hi in [(0, 10), (10, 25), (25, 70)]:
+        m = (az >= lo) & (az < hi)
+        marginal = err_quad[m].mean() - err_per[m].mean()
+        assert marginal < 1.0, (lo, hi, marginal)
+    # far range (most anchors): the quad window is not materially worse
+    far = az >= 40
+    assert err_quad[far].mean() <= err_per[far].mean() + 0.5
+
+
 def test_roi_quad_model_parity(setup):
     """roi_quad=2 (block-shared ROI windows) must reproduce the
     per-position model's proposals on an even-grid config."""
