@@ -63,13 +63,36 @@ class DevicePrefetcher:
                 if self._transform is not None:
                     item = self._transform(item)
                 arrays, meta = item
-                arrays = jax.device_put(arrays, self._sharding)
+                arrays = jax.tree.map(self._place, arrays)
                 if not self._put((arrays, meta)):
                     return
         except BaseException as e:  # surface loader errors to the consumer
             self._err = e
         finally:
             self._put(self._done)
+
+    def _place(self, x):
+        """Device-put one leaf under the configured sharding.
+
+        Multi-host (``jax.distributed``): every process loads the SAME
+        global batch (the dataset iterator is seed-deterministic), and
+        each contributes only its addressable shards — the standard
+        multi-controller pattern (SURVEY.md §3.9 DCN row).
+        """
+
+        s = self._sharding
+        if s is None:
+            return jax.device_put(x)
+        if jax.process_count() > 1 and hasattr(s, "devices_indices_map"):
+            pid = jax.process_index()
+            imap = s.devices_indices_map(x.shape)
+            shards = [
+                jax.device_put(x[idx], d)
+                for d, idx in imap.items()
+                if d.process_index == pid
+            ]
+            return jax.make_array_from_single_device_arrays(x.shape, s, shards)
+        return jax.device_put(x, s)
 
     def close(self, timeout: float = 5.0):
         """Stop the worker and release its queued device batches.

@@ -24,6 +24,14 @@ def parse_args(argv=None):
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--device", default=None, help="jax platform override (cpu/tpu)")
+    p.add_argument(
+        "--multihost",
+        action="store_true",
+        help="join the jax.distributed coordination service before training "
+        "(DCN multi-host; reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES "
+        "/ JAX_PROCESS_ID, or TPU-pod metadata). The mesh then spans every "
+        "host's devices and each process feeds its own batch shards.",
+    )
     return p.parse_args(argv)
 
 
@@ -57,6 +65,11 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.device)
+    if args.multihost:
+        from sparse_pooling_tpu.parallel import multihost
+
+        multihost.initialize()
+        print(f"[run_training] {multihost.process_info()}")
     cfg = load_config(args)
     from sparse_pooling_tpu.runtime.trainer import Trainer
 

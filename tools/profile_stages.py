@@ -88,6 +88,15 @@ def build_stages(b: int, train: bool):
 
     frames = [_synthetic_raw(cfg, ext, n_points=16384, seed=i) for i in range(b)]
     batch = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+    # production host pipeline trims to the point bucket (bench.py does too)
+    from sparse_pooling_tpu.data.pointcloud import trim_points_to_bucket
+
+    pts, mask = trim_points_to_bucket(
+        np.asarray(batch.points), np.asarray(batch.points_mask),
+        cfg.sparse_pool.buckets,
+    )
+    batch = batch._replace(points=jnp.array(pts), points_mask=jnp.array(mask))
+    npts_bucket = pts.shape[1]
 
     bev_in = jnp.array(rng.rand(b, hb, wb, 6), jnp.float32)
     img_in = jnp.array(rng.rand(b, hi, wi, 3), jnp.float32)
@@ -117,7 +126,7 @@ def build_stages(b: int, train: bool):
     p_img = img_extractor.init(key, img_in[:1])
 
     fusion = SparsePoolFusion(mid_ch, dt, pool_channels=cfg.sparse_pool.pool_channels)
-    npts = cap // 4
+    npts = npts_bucket  # production COO rides the point bucket
     rows = jnp.array(rng.randint(0, (hb // fs) * (wb // fs), (b, npts)), jnp.int32)
     cols = jnp.array(rng.randint(0, (hi // fs) * (wi // fs), (b, npts, 4)), jnp.int32)
     vals = jnp.array(rng.rand(b, npts, 4), jnp.float32)
