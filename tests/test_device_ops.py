@@ -412,3 +412,45 @@ def test_patch_pooling_grads_match_point_major():
         np.asarray(gs_p), np.asarray(gs_f).reshape(b, hs, ws, c), atol=1e-6
     )
     np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_f), atol=1e-6)
+
+
+def test_bf16_crop_gradient_accumulation_bounded():
+    """Round-2 advisor (low): bf16 feature maps accumulate their ROI-crop
+    gradient in bf16 (ops.crop_resize._acc_dtype). Bound the bf16-vs-f32
+    error at REALISTIC entry density: 2048 boxes x 3x3 samples x 4 corners
+    ~ 74k entries into an 88x100 map (the production RPN per-frame scale;
+    entries-per-cell matches the bench geometry)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_pooling_tpu.ops.crop_resize import crop_and_resize_px_batch
+
+    rng = np.random.RandomState(0)
+    h, w, c = 88, 100, 8
+    n = 2048
+    img_f32 = jnp.array(rng.rand(1, h, w, c), jnp.float32)
+    y1 = rng.rand(1, n) * (h - 8)
+    x1 = rng.rand(1, n) * (w - 8)
+    s = 2 + rng.rand(1, n) * 5
+    boxes = jnp.array(np.stack([y1, x1, y1 + s, x1 + s], -1), jnp.float32)
+
+    def loss(img):
+        out = crop_and_resize_px_batch(img, boxes, (3, 3))
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g32 = np.asarray(jax.grad(loss)(img_f32), np.float64)
+    g16 = np.asarray(
+        jax.grad(loss)(img_f32.astype(jnp.bfloat16)).astype(jnp.float32),
+        np.float64,
+    )
+    denom = np.linalg.norm(g32)
+    rel_l2 = np.linalg.norm(g16 - g32) / denom
+    # bf16 carries ~3 significant decimal digits; per-cell accumulation
+    # depth at this density is O(10), so a few percent is the expected
+    # band — this pins the ceiling (fails loudly if accumulation depth
+    # or dtype handling regresses)
+    assert rel_l2 < 0.05, rel_l2
+    # and the error must not concentrate: worst cell bounded vs its own scale
+    scale = np.abs(g32).max()
+    assert np.abs(g16 - g32).max() / scale < 0.1
