@@ -46,6 +46,12 @@ def cars_pyramid_config() -> PipelineConfig:
             # per-position filtering is exact when the cap does not
             # overflow (tests); under overflow both paths keep the
             # densest-count tiers first, so objects survive either way.
+            # Overflow IS the common case at this lattice (~950 nonempty
+            # Q4-blocks vs the 512-block cap), and its AP cost was measured
+            # at the production 0.1 m lattice on TPU (experiments/
+            # cars_check.py, 2000 steps, held-out val): Q=4 moderate Car AP
+            # 0.909/0.909/0.909 (2D/BEV/3D) vs Q=1 0.909/0.909/0.900 —
+            # no degradation, so Q=4 stays the default.
             rpn=RpnConfig(roi_quad=4),
         ),
     )
