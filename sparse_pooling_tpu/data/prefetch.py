@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Callable, Iterator, Optional
 
 import jax
@@ -37,6 +38,9 @@ class DevicePrefetcher:
         self._iter = host_iter
         self._transform = transform
         self._sharding = sharding
+        # worker-side phase accumulators (seconds): host-iterator pull vs
+        # device_put — read after close() to attribute pipeline stalls
+        self.timings = {"load": 0.0, "put": 0.0}
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
         self._err: Optional[BaseException] = None
@@ -57,13 +61,22 @@ class DevicePrefetcher:
 
     def _worker(self):
         try:
-            for item in self._iter:
+            it = iter(self._iter)
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    item = next(it)
+                except StopIteration:
+                    break
+                self.timings["load"] += time.perf_counter() - t0
                 if self._stop.is_set():
                     return
                 if self._transform is not None:
                     item = self._transform(item)
                 arrays, meta = item
+                t0 = time.perf_counter()
                 arrays = jax.tree.map(self._place, arrays)
+                self.timings["put"] += time.perf_counter() - t0
                 if not self._put((arrays, meta)):
                     return
         except BaseException as e:  # surface loader errors to the consumer

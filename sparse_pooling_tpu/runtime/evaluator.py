@@ -130,10 +130,20 @@ class Evaluator:
         bsz = max(cfg.eval.batch_size, 1)
         prefetch = DevicePrefetcher(self._host_batches(bsz), depth=2)
         n = 0
+        # consumer-side phase accumulators; with the prefetcher's own
+        # load/put split they locate the sweep bottleneck (wait = worker
+        # can't keep up; device = forward dispatch + detection readback;
+        # write = KITTI txt formatting)
+        ph = {"wait": 0.0, "device": 0.0, "write": 0.0}
         t0 = time.time()
         with prefetch:  # release the worker even if forward/write raises
+            t_it = time.perf_counter()
             for batch, (chunk, samples) in prefetch:
+                ph["wait"] += time.perf_counter() - t_it
+                t_ph = time.perf_counter()
                 det_b = jax.tree.map(np.asarray, self._eval_fn(params, batch))
+                ph["device"] += time.perf_counter() - t_ph
+                t_ph = time.perf_counter()
                 for i, sid in enumerate(chunk):
                     det = jax.tree.map(lambda x: x[i], det_b)
                     sample = samples[i]
@@ -149,7 +159,16 @@ class Evaluator:
                         sample.raw_image_hw, score_threshold=thresh,
                     )
                     n += 1
+                ph["write"] += time.perf_counter() - t_ph
+                t_it = time.perf_counter()
         dt = time.time() - t0
+        wk = prefetch.timings
+        print(
+            f"[evaluator] phase breakdown over {dt:.1f}s: consumer wait "
+            f"{ph['wait']:.1f} / device {ph['device']:.1f} / txt write "
+            f"{ph['write']:.1f}; worker load {wk['load']:.1f} / device_put "
+            f"{wk['put']:.1f}"
+        )
 
         # image summary: first val frame with drawn predictions (reference:
         # prediction-image summaries in summary_utils)
