@@ -15,7 +15,27 @@ from typing import Dict, Sequence
 import numpy as np
 
 from sparse_pooling_tpu.data.calib import project_to_image
-from sparse_pooling_tpu.ops import encoders
+
+
+def _box_3d_to_corners_np(boxes: np.ndarray) -> np.ndarray:
+    """[N, 7] box_3d -> [N, 8, 3] corners; numpy twin of
+    ``ops.encoders.box_3d_to_corners`` (same corner order, parity-tested in
+    tests/test_runtime.py). The writer must stay device-free: the jnp
+    version dispatched ONE remote-device call PER DETECTION from the eval
+    host loop — measured as the dominant cost of a 3.7k-frame TPU eval
+    sweep (~300 dispatches/frame through the remote runtime)."""
+
+    x, y, z, l, w, h, ry = [boxes[:, i] for i in range(7)]
+    lx = np.stack([l / 2, l / 2, -l / 2, -l / 2], axis=-1)
+    lz = np.stack([w / 2, -w / 2, -w / 2, w / 2], axis=-1)
+    c, s = np.cos(ry)[:, None], np.sin(ry)[:, None]
+    gx = c * lx + s * lz + x[:, None]
+    gz = -s * lx + c * lz + z[:, None]
+    gy = np.broadcast_to(y[:, None], gx.shape)
+    bottom = np.stack([gx, gy, gz], axis=-1)  # [N, 4, 3]
+    top = bottom.copy()
+    top[..., 1] -= np.broadcast_to(h[:, None], gx.shape)
+    return np.concatenate([bottom, top], axis=1)
 
 
 def detections_to_kitti_rows(
@@ -25,36 +45,41 @@ def detections_to_kitti_rows(
     raw_image_hw,
     score_threshold: float = 0.1,
 ):
-    """Decoded per-class detections -> list of KITTI row strings."""
+    """Decoded per-class detections -> list of KITTI row strings.
 
-    rows = []
+    Fully vectorized (one corner/projection pass over every kept box);
+    Python only string-formats the survivors, in (class, k) order.
+    """
+
     boxes = np.asarray(det["boxes_3d"], dtype=np.float64)  # [C, K, 7]
     scores = np.asarray(det["scores"], dtype=np.float64)
     valid = np.asarray(det["valid"])
     h_img, w_img = raw_image_hw
-    for ci, cname in enumerate(class_names):
-        for k in range(boxes.shape[1]):
-            if not valid[ci, k] or scores[ci, k] < score_threshold:
-                continue
-            b = boxes[ci, k]
-            x, y, z, l, w, h, ry = b
-            corners = np.asarray(encoders.box_3d_to_corners(b[None]))[0]
-            uv = project_to_image(corners, p2_raw)
-            if not np.isfinite(uv).all():
-                continue
-            x1 = float(np.clip(uv[:, 0].min(), 0, w_img - 1))
-            x2 = float(np.clip(uv[:, 0].max(), 0, w_img - 1))
-            y1 = float(np.clip(uv[:, 1].min(), 0, h_img - 1))
-            y2 = float(np.clip(uv[:, 1].max(), 0, h_img - 1))
-            if x2 <= x1 or y2 <= y1:
-                continue
-            alpha = ry - np.arctan2(x, z)
-            rows.append(
-                f"{cname} -1 -1 {alpha:.6f} "
-                f"{x1:.6f} {y1:.6f} {x2:.6f} {y2:.6f} "
-                f"{h:.6f} {w:.6f} {l:.6f} {x:.6f} {y:.6f} {z:.6f} {ry:.6f} "
-                f"{scores[ci, k]:.6f}"
-            )
+    keep = valid & (scores >= score_threshold)
+    ci_idx, k_idx = np.nonzero(keep)  # row-major: class, then k ascending
+    if ci_idx.size == 0:
+        return []
+    b = boxes[ci_idx, k_idx]  # [N, 7]
+    corners = _box_3d_to_corners_np(b)
+    uv = project_to_image(corners.reshape(-1, 3), p2_raw).reshape(-1, 8, 2)
+    with np.errstate(invalid="ignore"):
+        finite = np.isfinite(uv).all(axis=(1, 2))
+        x1 = np.clip(np.nanmin(uv[:, :, 0], 1), 0, w_img - 1)
+        x2 = np.clip(np.nanmax(uv[:, :, 0], 1), 0, w_img - 1)
+        y1 = np.clip(np.nanmin(uv[:, :, 1], 1), 0, h_img - 1)
+        y2 = np.clip(np.nanmax(uv[:, :, 1], 1), 0, h_img - 1)
+    ok = finite & (x2 > x1) & (y2 > y1)
+    alpha = b[:, 6] - np.arctan2(b[:, 0], b[:, 2])
+    sc = scores[ci_idx, k_idx]
+    rows = []
+    for i in np.nonzero(ok)[0]:
+        x, y, z, l, w, h, ry = b[i]
+        rows.append(
+            f"{class_names[ci_idx[i]]} -1 -1 {alpha[i]:.6f} "
+            f"{x1[i]:.6f} {y1[i]:.6f} {x2[i]:.6f} {y2[i]:.6f} "
+            f"{h:.6f} {w:.6f} {l:.6f} {x:.6f} {y:.6f} {z:.6f} {ry:.6f} "
+            f"{sc[i]:.6f}"
+        )
     return rows
 
 

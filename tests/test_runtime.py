@@ -118,6 +118,48 @@ def test_prediction_writer_round_trip(tmp_path):
     assert 0 <= ob.x1 < ob.x2 <= 1241
 
 
+def test_kitti_rows_numpy_corners_parity():
+    """The device-free writer's numpy corner twin must match the jnp op,
+    and the vectorized row path must preserve per-box filter semantics."""
+
+    from sparse_pooling_tpu.ops import encoders
+    from sparse_pooling_tpu.runtime import predictions as pred_mod
+
+    rng = np.random.RandomState(3)
+    boxes = np.stack(
+        [
+            rng.uniform(-20, 20, 64),  # x
+            rng.uniform(0.5, 2.5, 64),  # y
+            rng.uniform(2, 60, 64),  # z
+            rng.uniform(0.5, 4.5, 64),  # l
+            rng.uniform(0.4, 2.0, 64),  # w
+            rng.uniform(0.8, 2.0, 64),  # h
+            rng.uniform(-np.pi, np.pi, 64),  # ry
+        ],
+        axis=1,
+    )
+    got = pred_mod._box_3d_to_corners_np(boxes)
+    want = np.asarray(encoders.box_3d_to_corners(boxes))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # rows: include behind-camera (z<0 -> nonfinite uv) and low-score boxes
+    boxes[0, 2] = -5.0
+    det = {
+        "boxes_3d": boxes[None],
+        "scores": np.linspace(0, 1, 64)[None],
+        "valid": np.ones((1, 64), bool),
+    }
+    p2 = np.array([[700.0, 0, 600, 0], [0, 700.0, 180, 0], [0, 0, 1.0, 0]])
+    rows = pred_mod.detections_to_kitti_rows(det, ["Car"], p2, (375, 1242), 0.5)
+    assert 0 < len(rows) <= 32  # score filter applied
+    for r in rows:
+        f = r.split()
+        assert f[0] == "Car" and float(f[-1]) >= 0.5
+        x1, y1, x2, y2 = map(float, f[4:8])
+        assert 0 <= x1 < x2 <= 1241 and 0 <= y1 < y2 <= 374
+        assert float(f[13]) > 0  # z in front of the camera
+
+
 def test_training_cli(cfg, tmp_path):
     import json as _json
 
