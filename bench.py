@@ -29,6 +29,10 @@ import time
 
 
 def main():
+    import sparse_pooling_tpu as _spt
+
+    _spt.enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -44,6 +44,10 @@ def main(argv=None):
     if args.device:
         jax.config.update("jax_platforms", args.device)
 
+    import sparse_pooling_tpu as _spt
+
+    _spt.enable_compile_cache()
+
     from sparse_pooling_tpu.configs import cars_pyramid_config
     from sparse_pooling_tpu.configs.config import EvalConfig, OptimizerConfig
     from sparse_pooling_tpu.data import synthetic

@@ -39,6 +39,10 @@ def main(argv=None):
     if args.device:
         jax.config.update("jax_platforms", args.device)
 
+    import sparse_pooling_tpu as _spt
+
+    _spt.enable_compile_cache()
+
     import dataclasses
 
     import numpy as np

@@ -32,6 +32,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.device)
 
+    import sparse_pooling_tpu as _spt
+
+    _spt.enable_compile_cache()
+
     from sparse_pooling_tpu.experiments.run_training import load_config
 
     cfg = load_config(args)

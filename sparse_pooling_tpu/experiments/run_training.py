@@ -65,6 +65,10 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.device)
+
+    import sparse_pooling_tpu as _spt
+
+    _spt.enable_compile_cache()
     if args.multihost:
         from sparse_pooling_tpu.parallel import multihost
 

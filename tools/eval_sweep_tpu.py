@@ -38,6 +38,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.device)
+
+    import sparse_pooling_tpu as _spt
+
+    _spt.enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

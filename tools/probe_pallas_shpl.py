@@ -30,6 +30,10 @@ import time
 
 sys.path.insert(0, ".")
 
+import sparse_pooling_tpu as _spt
+
+_spt.enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

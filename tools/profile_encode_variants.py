@@ -25,6 +25,10 @@ import argparse
 import sys
 
 sys.path.insert(0, ".")
+
+import sparse_pooling_tpu as _spt
+
+_spt.enable_compile_cache()
 from profile_stages import timed  # noqa: E402
 
 

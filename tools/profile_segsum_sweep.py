@@ -6,6 +6,10 @@ scatter cost: output size, payload width, dtype, batch splitting)."""
 import sys
 
 sys.path.insert(0, ".")
+
+import sparse_pooling_tpu as _spt
+
+_spt.enable_compile_cache()
 from profile_stages import timed  # noqa: E402
 
 

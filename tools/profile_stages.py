@@ -17,6 +17,10 @@ import time
 
 sys.path.insert(0, ".")  # run as `python tools/profile_stages.py` from repo root
 
+import sparse_pooling_tpu as _spt
+
+_spt.enable_compile_cache()
+
 
 def timed(body, args, n=10):
     import jax

@@ -21,6 +21,10 @@ import sys
 import time
 
 sys.path.insert(0, ".")
+
+import sparse_pooling_tpu as _spt
+
+_spt.enable_compile_cache()
 from profile_stages import build_stages, timed  # noqa: E402
 
 # Stages whose outputs are not differentiable functions of float inputs
