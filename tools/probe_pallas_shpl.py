@@ -98,7 +98,7 @@ def main():
     print("backend:", jax.default_backend())
     rng = np.random.RandomState(0)
 
-    s, c, t, k = 7488, 32, 8832, 8  # t rounded to tile multiples
+    s, c, t, k = 7488, 32, 8832, 8  # t divisible by tile_t=48
     src = jnp.array(rng.rand(s, c), jnp.float32)
     idx = jnp.array(rng.randint(0, s, (t, k)), jnp.int32)
     w = jnp.array(rng.rand(t, k), jnp.float32)
@@ -106,7 +106,7 @@ def main():
     dt = timed(sparse_pool_ell, src, idx, w, n=50)
     print(f"XLA sparse_pool_ell   T={t}: {dt*1e3:8.3f} ms/frame")
 
-    for (n_t, tile_t, label) in ((t // 8, 46, "ell_ds_small"), (t, 46, "ell_ds")):
+    for (n_t, tile_t, label) in ((t // 8, 48, "ell_ds_small"), (t, 48, "ell_ds")):
         try:
             run = make_ell_ds_kernel(s, c, k, tile_t)
             f = functools.partial(run, n_t=n_t)
