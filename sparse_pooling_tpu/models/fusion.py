@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from sparse_pooling_tpu.ops.sparse_build import DeviceCoo
-from sparse_pooling_tpu.ops.sparse_pool import sparse_pool_point_major_batch
+from sparse_pooling_tpu.ops.sparse_pool import sparse_pool_patch_major_batch
 
 
 class SparsePoolFusion(nn.Module):
@@ -53,14 +53,15 @@ class SparsePoolFusion(nn.Module):
             src = nn.Conv(
                 self.pool_channels, (1, 1), dtype=self.dtype, name="pool_proj"
             )(src)
-        # NB: a 2x2-window patch-gather variant exists
-        # (sparse_pool_patch_major_batch) and measured NEUTRAL here
-        # (18.35 vs 18.17 ms/batch-8): this pooling is bound by its
-        # segment-sum entry count (~18 ns/entry at B*max_points entries),
-        # not gather descriptors, so the flat form stays (simpler VJP).
-        src_flat = src.reshape(b, hs * ws, src.shape[-1])
-        pooled = sparse_pool_point_major_batch(
-            src_flat, coo.rows, coo.cols, coo.vals, num_targets=ht * wt,
+        # 2x2-window patch-gather pooling (one gather descriptor per point
+        # instead of 4). Was NEUTRAL at the 32k point cap (18.35 vs 18.17
+        # ms/batch-8, entry-bound); after round-3 point bucketing dropped
+        # bench batches to the 16k bucket the balance flipped — 4.80 vs
+        # 6.12 ms/batch (tools/profile_shpl_variants.py). Valid because
+        # the device builder emits corner order [v0u0, v0u1, v1u0, v1u1];
+        # the flat point-major form stays available for generic COO.
+        pooled = sparse_pool_patch_major_batch(
+            src, coo.rows, coo.cols, coo.vals, num_targets=ht * wt,
             divide_by_weight_sum=coo.defer_row_norm,
         )
         pooled_map = pooled.reshape(b, ht, wt, -1).astype(self.dtype)

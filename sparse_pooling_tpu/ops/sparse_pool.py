@@ -209,6 +209,7 @@ def sparse_pool_patch_major_batch(
     cols: jnp.ndarray,  # [B, P, 4] int32 bilinear-corner linear indices
     vals: jnp.ndarray,  # [B, P, 4] f32 weights (0 on padding)
     num_targets: int,
+    divide_by_weight_sum: bool = False,
 ) -> jnp.ndarray:
     """Point-major pooling with ONE 2x2-window gather descriptor per point.
 
@@ -222,15 +223,32 @@ def sparse_pool_patch_major_batch(
     through ``sparse_pool_point_major_batch``. Carries a custom VJP (see
     ``_patch_pool_with_vjp``).
 
-    MEASURED NEUTRAL at production shapes (18.35 vs 18.17 ms/batch-8 for
-    both fusion directions): this pooling is bound by its segment-sum
-    ENTRY count (~18 ns/entry at B*max_points entries), not by gather
-    descriptors, so the production fusion layer keeps the flat form. Kept
-    as a tested variant because the cost balance flips if max_points
-    shrinks or channel width grows.
+    ``divide_by_weight_sum`` applies a ``DeviceCoo(defer_row_norm=True)``'s
+    deferred row normalization with a SEPARATE channel-free segment-sum of
+    the weights (outside the custom VJP, so autodiff handles the quotient;
+    the denominator segsum carries 1 lane vs the features' C, ~1/C of the
+    pooling's scatter cost).
+
+    History: measured NEUTRAL at the 32k point cap (18.35 vs 18.17
+    ms/batch-8, both fusion directions — the pooling was segment-sum
+    ENTRY-bound at B*max_points entries). After round-3 point-count
+    bucketing dropped bench batches to the 16k bucket, the balance
+    flipped: 4.80 vs 6.12 ms/batch (tools/profile_shpl_variants.py), so
+    the production fusion layer now uses this form for device-built COO
+    (models/fusion.py).
     """
 
-    return _patch_pool_with_vjp(int(num_targets))(src_map, rows, cols, vals)
+    out = _patch_pool_with_vjp(int(num_targets))(src_map, rows, cols, vals)
+    if divide_by_weight_sum:
+        b = rows.shape[0]
+        row_off = (jnp.arange(b, dtype=rows.dtype) * num_targets)[:, None]
+        denom = jax.ops.segment_sum(
+            vals.sum(axis=-1).reshape(-1),
+            (rows + row_off).reshape(-1),
+            num_segments=b * num_targets,
+        ).reshape(b, num_targets, 1)
+        out = jnp.where(denom > 1e-12, out / jnp.maximum(denom, 1e-12), 0.0)
+    return out
 
 
 def sparse_pool_ell(

@@ -362,15 +362,17 @@ def test_patch_pooling_matches_point_major():
     vals[:, -5:] = 0.0  # padding points
     rows = rng.randint(0, nt, (b, p))
 
-    got = sp.sparse_pool_patch_major_batch(
-        src, jnp.array(rows, jnp.int32), jnp.array(cols, jnp.int32),
-        jnp.array(vals), num_targets=nt,
-    )
-    want = sp.sparse_pool_point_major_batch(
-        src.reshape(b, hs * ws, c), jnp.array(rows, jnp.int32),
-        jnp.array(cols, jnp.int32), jnp.array(vals), num_targets=nt,
-    )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    for norm in (False, True):  # raw + deferred-row-norm (production) forms
+        got = sp.sparse_pool_patch_major_batch(
+            src, jnp.array(rows, jnp.int32), jnp.array(cols, jnp.int32),
+            jnp.array(vals), num_targets=nt, divide_by_weight_sum=norm,
+        )
+        want = sp.sparse_pool_point_major_batch(
+            src.reshape(b, hs * ws, c), jnp.array(rows, jnp.int32),
+            jnp.array(cols, jnp.int32), jnp.array(vals), num_targets=nt,
+            divide_by_weight_sum=norm,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
 def test_patch_pooling_grads_match_point_major():
@@ -394,24 +396,29 @@ def test_patch_pooling_grads_match_point_major():
     rows = jnp.array(rng.randint(0, nt, (b, p)), jnp.int32)
     cost = jnp.array(rng.rand(b, nt, c), jnp.float32)
 
-    def loss_patch(s, v):
-        return jnp.sum(
-            sp.sparse_pool_patch_major_batch(s, rows, cols, v, nt) * cost
-        )
+    for norm in (False, True):  # raw + deferred-row-norm (production) forms
 
-    def loss_flat(s, v):
-        return jnp.sum(
-            sp.sparse_pool_point_major_batch(
-                s.reshape(b, hs * ws, c), rows, cols, v, nt
-            ) * cost
-        )
+        def loss_patch(s, v):
+            return jnp.sum(
+                sp.sparse_pool_patch_major_batch(
+                    s, rows, cols, v, nt, divide_by_weight_sum=norm
+                ) * cost
+            )
 
-    gs_p, gv_p = jax.grad(loss_patch, argnums=(0, 1))(src, vals)
-    gs_f, gv_f = jax.grad(loss_flat, argnums=(0, 1))(src, vals)
-    np.testing.assert_allclose(
-        np.asarray(gs_p), np.asarray(gs_f).reshape(b, hs, ws, c), atol=1e-6
-    )
-    np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_f), atol=1e-6)
+        def loss_flat(s, v):
+            return jnp.sum(
+                sp.sparse_pool_point_major_batch(
+                    s.reshape(b, hs * ws, c), rows, cols, v, nt,
+                    divide_by_weight_sum=norm,
+                ) * cost
+            )
+
+        gs_p, gv_p = jax.grad(loss_patch, argnums=(0, 1))(src, vals)
+        gs_f, gv_f = jax.grad(loss_flat, argnums=(0, 1))(src, vals)
+        np.testing.assert_allclose(
+            np.asarray(gs_p), np.asarray(gs_f).reshape(b, hs, ws, c), atol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_f), atol=1e-6)
 
 
 def test_bf16_crop_gradient_accumulation_bounded():
