@@ -273,11 +273,21 @@ class Evaluator:
         )
         raw0 = pl.RawSample(*(jnp.array(a[0]) for a in arrays))
         rng = jax.random.PRNGKey(0)
-        inputs = pl.build_model_inputs(
-            raw0, self.anchors_static, jnp.ones((2,), jnp.float32),
-            self.cfg.model, self.extents,
-        )
-        return self.model.init({"params": rng, "dropout": rng}, inputs, train=False)
+
+        # one jitted call, not eager flax init: op-by-op init through the
+        # remote runtime dispatched hundreds of tunneled calls (~400 s
+        # measured); jitted it is one compile (persistently cached) + one
+        # dispatch
+        def init_fn(rng, raw):
+            inputs = pl.build_model_inputs(
+                raw, self.anchors_static, jnp.ones((2,), jnp.float32),
+                self.cfg.model, self.extents,
+            )
+            return self.model.init(
+                {"params": rng, "dropout": rng}, inputs, train=False
+            )
+
+        return jax.jit(init_fn)(rng, raw0)
 
     # ------------------------------------------------------------ sweep
     def repeated_checkpoint_run(

@@ -133,13 +133,20 @@ class Trainer:
         rng = jax.random.PRNGKey(seed)
         sample_batch = self._first_batch()
         raw0 = jax.tree.map(lambda x: x[0], sample_batch)
-        inputs = pl.build_model_inputs(
-            raw0, self.anchors_static, jnp.ones((2,), jnp.float32),
-            self.cfg.model, self.extents,
-        )
-        params = self.model.init(
-            {"params": rng, "dropout": rng}, inputs, train=False
-        )
+
+        # one jitted call, not eager flax init (op-by-op init dispatches
+        # hundreds of tunneled device calls on the remote runtime — ~400 s
+        # measured on the evaluator's identical template path)
+        def init_fn(rng, raw):
+            inputs = pl.build_model_inputs(
+                raw, self.anchors_static, jnp.ones((2,), jnp.float32),
+                self.cfg.model, self.extents,
+            )
+            return self.model.init(
+                {"params": rng, "dropout": rng}, inputs, train=False
+            )
+
+        params = jax.jit(init_fn)(rng, raw0)
         if self.mesh is not None:
             # place params BEFORE tx.init so optimizer moments inherit the
             # same (replicated / TP-split) shardings via zeros_like
