@@ -8,22 +8,38 @@ in HBM. Kernel-level counterpart of the reference's CUDA-backed
 ``tf.sparse_tensor_dense_matmul`` (SHPL layer) and the MV3D fork's custom
 CUDA ops (N3/N5/N7 in SURVEY.md §3.8).
 
-MEASURED DESIGN DECISION (TPU v5e, jax 0.9.0):
-  * The XLA lowering of ``sparse_pool_ell`` (gather + einsum) runs the
-    production shapes (S=7488, C=32, T=8800, K=8) in ~33 us single-frame and
-    ~15 us for a vmapped batch of 8 — dispatch-overhead-bound, with the
-    gather fully fused (effective >1.4 TB/s, above HBM speed-of-light, i.e.
-    intermediates never hit HBM).
-  * This Mosaic version cannot lower dynamic row gathers (``jnp.take`` /
-    ``take_along_axis`` along either sublanes or lanes assert in lowering),
-    so this kernel compiles only in interpreter mode today.
-  * A one-hot MXU formulation (weighted one-hot [T_tile, S_chunk] built on
-    the VPU, then bf16 matmul) compiles and is numerically fine (~3e-3 rel)
-    but measures ~650 us — 20x slower, VPU-bound on one-hot construction.
+MEASURED DESIGN DECISION — **FINAL, round 3** (TPU v5e, jax 0.9.0; closes
+SURVEY.md §3.8 N7). Every Mosaic formulation of the data-dependent row
+reads was built and priced; the XLA lowering wins by orders of magnitude
+and IS the TPU-native design for this op:
 
-Production code therefore calls ``sparse_pool_fused`` below, which uses the
-XLA path on TPU and can switch to this kernel when a Mosaic with dynamic
-gather support lands (probe with ``pallas_gather_supported()``).
+  * XLA ``sparse_pool_ell`` (gather + einsum): 0.78 ms/frame at S=7488,
+    C=32, T=8832, K=8 (tools/probe_pallas_shpl.py round 3; the earlier
+    ~33 us figure was the COO production path at its own shapes) —
+    dispatch/entry-bound, gather fully fused (intermediates never touch
+    HBM). The production COO forms: point-major 6.12, 2x2-window
+    patch-major 4.80 ms/batch-8 at the 16k bucket
+    (tools/profile_shpl_variants.py).
+  * In-kernel vector gathers (``jnp.take`` along sublanes or lanes):
+    assert in Mosaic lowering. Kernel below compiles interpreter-only.
+  * One-hot MXU formulation: compiles, numerically fine (~3e-3 rel), ~650
+    us — 20x slower, VPU-bound building the one-hot.
+  * Scalar-prefetched indices + per-row dynamic slices
+    (``pltpu.PrefetchScalarGridSpec``, the standard Mosaic route, probed
+    round 3 in tools/probe_pallas_shpl.py): passes Pallas lowering
+    constraints but crashes this environment's remote Mosaic compiler
+    (HTTP 500, same failure class as bf16 window kernels in
+    tools/probe_pallas_roi.py). Even compiling, the ROI probe's measured
+    ~0.55-0.64 us per dynamic-slice issue prices the required T*K = 70k
+    row reads at ~40 ms/frame — 50x the XLA path, structurally.
+  * Sorting evidence: a sorted-CSR kernel would amortize NOTHING — sorted
+    segment-sum measures 6.30 (sort included) / 6.14 (presorted) vs 6.12
+    ms/batch unsorted (tools/profile_shpl_variants.py).
+
+Production code therefore calls ``sparse_pool_fused`` below, which uses
+the XLA path on TPU; the kernel stays as the interpreter-mode reference
+and the ``pallas_gather_supported()`` probe auto-adopts it if a future
+Mosaic lowers dynamic gathers AND beats these numbers.
 """
 
 from __future__ import annotations
