@@ -24,11 +24,20 @@ is 50 fps/chip.
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--preset", default="cars",
+        help="model preset to bench (driver metric: cars; 'people' records "
+        "the multi-class preset's rate)",
+    )
+    args = ap.parse_args()
+
     import sparse_pooling_tpu as _spt
 
     _spt.enable_compile_cache()
@@ -37,13 +46,14 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _synthetic_raw
-    from sparse_pooling_tpu.configs import AreaExtents, cars_pyramid_config
+    from sparse_pooling_tpu.configs import AreaExtents
+    from sparse_pooling_tpu.configs.presets import preset
     from sparse_pooling_tpu.models import pipeline as pl
     from sparse_pooling_tpu.models.detector import decode_detections
 
     batch_size = 8
     n_iters = 10
-    cfg = cars_pyramid_config().model
+    cfg = preset(args.preset).model
     ext = AreaExtents()
     model = pl.make_model(cfg, ext)
     anchors_static = jnp.array(pl.static_anchor_grid(cfg, ext))
@@ -90,10 +100,11 @@ def main():
     fps = batch_size / dt
 
     baseline_fps = 10.0  # reference end-to-end inference (~0.1 s/frame)
+    suffix = "" if args.preset == "cars" else f"_{args.preset}"
     print(
         json.dumps(
             {
-                "metric": "kitti_e2e_inference_frames_per_sec_per_chip",
+                "metric": f"kitti_e2e_inference_frames_per_sec_per_chip{suffix}",
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / baseline_fps, 3),
