@@ -358,6 +358,9 @@ class EvalConfig:
     # remote runtime's per-call round trip (~0.7 s/batch tunneled, 8x the
     # graph time) with device execution. 1 = fully synchronous.
     inflight_batches: int = 2
+    # shard the val batch over every visible device (pure DP mesh; params
+    # replicate). False -> single-device eval.
+    data_parallel: bool = True
 
 
 @_freeze

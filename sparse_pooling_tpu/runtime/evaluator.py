@@ -54,6 +54,23 @@ class Evaluator:
         self.summary = SummaryWriter(os.path.join(self.workdir, "eval_summaries"))
         self._eval_fn = None
         self._ap_backend = "unknown"
+        # Pure data-parallel eval mesh (SURVEY.md §3.9): the val batch
+        # shards over every visible device, params replicate; XLA inserts
+        # the collectives. None -> plain single-device execution.
+        from sparse_pooling_tpu.parallel import mesh as mesh_mod
+
+        self.mesh = (
+            mesh_mod.auto_mesh(max(cfg.eval.batch_size, 1))
+            if getattr(cfg.eval, "data_parallel", True)
+            else None
+        )
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            print(
+                f"[evaluator] mesh data={self.mesh.devices.size} "
+                f"(batch {cfg.eval.batch_size} sharded)"
+            )
+        else:
+            self.mesh = None
 
     # ------------------------------------------------------------ forward
     def _make_eval_fn(self):
@@ -116,6 +133,10 @@ class Evaluator:
             )
         if self._eval_fn is None:
             self._eval_fn = self._make_eval_fn()
+        if self.mesh is not None:
+            from sparse_pooling_tpu.parallel import mesh as mesh_mod
+
+            params = jax.device_put(params, mesh_mod.replicated(self.mesh))
 
         thresh = cfg.eval.kitti_score_threshold
         pred_dir = os.path.join(
@@ -128,7 +149,14 @@ class Evaluator:
         # (SURVEY.md §4.2: the reference evaluates sample-at-a-time through
         # feed_dict; a 3.7k-frame val sweep needs the bench-style batching)
         bsz = max(cfg.eval.batch_size, 1)
-        prefetch = DevicePrefetcher(self._host_batches(bsz), depth=2)
+        batch_sharding = None
+        if self.mesh is not None:
+            from sparse_pooling_tpu.parallel import mesh as mesh_mod
+
+            batch_sharding = mesh_mod.batch_sharding(self.mesh)
+        prefetch = DevicePrefetcher(
+            self._host_batches(bsz), depth=2, sharding=batch_sharding
+        )
         n = 0
         # consumer-side phase accumulators; with the prefetcher's own
         # load/put split they locate the sweep bottleneck (wait = worker

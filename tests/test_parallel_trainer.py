@@ -198,3 +198,39 @@ def test_trainer_mesh_resume(cfg):
     assert state.step == 2
     fc = state.params["params"]["stage2_head"]["fc1"]["kernel"]
     assert "model" in str(fc.sharding.spec)
+
+
+def test_evaluator_mesh_dp_matches_single_device(cfg):
+    """The Evaluator's pure-DP mesh path (batch sharded over the data
+    axis, params replicated) must produce the same detections as
+    single-device eval — SPMD is a layout, not a semantics change."""
+
+    from sparse_pooling_tpu.models import pipeline as pl
+    from sparse_pooling_tpu.runtime.evaluator import Evaluator
+
+    eval_cfg = dataclasses.replace(
+        cfg,
+        dataset=dataclasses.replace(cfg.dataset, split="train"),
+        eval=dataclasses.replace(cfg.eval, batch_size=4, data_parallel=True),
+    )
+    ev = Evaluator(eval_cfg)
+    assert ev.mesh is not None and ev.mesh.devices.size == 4
+    params = ev._params_template()
+
+    arrays, _ = next(ev.dataset.batches(4, 0, augment=False))
+    batch = pl.RawSample(*(jax.numpy.array(a) for a in arrays))
+    sharded_batch = jax.device_put(batch, mesh_mod.batch_sharding(ev.mesh))
+    rep_params = jax.device_put(params, mesh_mod.replicated(ev.mesh))
+    got = ev._make_eval_fn()(rep_params, sharded_batch)
+
+    off = Evaluator(
+        dataclasses.replace(
+            eval_cfg, eval=dataclasses.replace(eval_cfg.eval, data_parallel=False)
+        )
+    )
+    assert off.mesh is None
+    want = off._make_eval_fn()(params, batch)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-5, atol=1e-5
+        )
