@@ -73,7 +73,17 @@ class Evaluator:
             self.mesh = None
 
     # ------------------------------------------------------------ forward
-    def _make_eval_fn(self):
+    def _make_eval_fn(self, packed: bool = False):
+        """Jitted batch forward+decode.
+
+        packed=False (default, export/parity API): detections dict.
+        packed=True (the sweep loop): the three detection leaves are
+        concatenated into ONE [B, C, K, 9] f32 array, because each
+        device->host np.asarray is a separate blocking round trip through
+        this environment's tunneled runtime (~0.2 s each — measured 289 s
+        of a 410 s 3.7k-frame sweep across 3 leaves x 464 batches).
+        """
+
         cfg, ext = self.cfg.model, self.extents
 
         @jax.jit
@@ -81,9 +91,29 @@ class Evaluator:
             out = pl.forward_batch_fn(
                 self.model, params, batch, self.anchors_static, cfg, ext, False
             )
-            return pl.decode_batch(out, batch.ground_plane, cfg, ext)
+            det = pl.decode_batch(out, batch.ground_plane, cfg, ext)
+            if not packed:
+                return det
+            return jnp.concatenate(
+                [
+                    det["boxes_3d"],
+                    det["scores"][..., None],
+                    det["valid"][..., None].astype(jnp.float32),
+                ],
+                axis=-1,
+            )
 
         return eval_fn
+
+    @staticmethod
+    def _unpack_det(packed: np.ndarray) -> Dict[str, np.ndarray]:
+        """Host-side inverse of the eval_fn packing (numpy, no device)."""
+
+        return {
+            "boxes_3d": packed[..., :7],
+            "scores": packed[..., 7],
+            "valid": packed[..., 8] > 0.5,
+        }
 
     def _host_batches(self, batch_size: int):
         """Val batches with a PADDED tail (the detector is static-shape;
@@ -132,7 +162,7 @@ class Evaluator:
                 self.ckpt_dir, step, self._params_template(), build_optimizer(cfg)
             )
         if self._eval_fn is None:
-            self._eval_fn = self._make_eval_fn()
+            self._eval_fn = self._make_eval_fn(packed=True)
         if self.mesh is not None:
             from sparse_pooling_tpu.parallel import mesh as mesh_mod
 
@@ -171,7 +201,7 @@ class Evaluator:
             nonlocal n
             det_dev, chunk, samples = entry
             t_ph = time.perf_counter()
-            det_b = jax.tree.map(np.asarray, det_dev)
+            det_b = self._unpack_det(np.asarray(det_dev))
             ph["readback"] += time.perf_counter() - t_ph
             t_ph = time.perf_counter()
             for i, sid in enumerate(chunk):
@@ -203,7 +233,15 @@ class Evaluator:
             for batch, (chunk, samples) in prefetch:
                 ph["wait"] += time.perf_counter() - t_it
                 t_ph = time.perf_counter()
-                inflight.append((self._eval_fn(params, batch), chunk, samples))
+                det_dev = self._eval_fn(params, batch)
+                # start the device->host copy NOW: by the time this batch
+                # is drained (depth batches later) the packed result is
+                # already host-resident and np.asarray doesn't block
+                try:
+                    det_dev.copy_to_host_async()
+                except AttributeError:
+                    pass  # non-jax.Array backends (tests with mocks)
+                inflight.append((det_dev, chunk, samples))
                 ph["dispatch"] += time.perf_counter() - t_ph
                 if len(inflight) >= depth:
                     _drain(inflight.popleft())

@@ -96,6 +96,29 @@ def test_evaluator_sweep(cfg):
     assert ev.repeated_checkpoint_run(max_wait=0) == []
 
 
+def test_evaluator_packed_eval_fn_matches_dict(cfg):
+    """The sweep-loop packed [B,C,K,9] result must unpack to exactly the
+    dict-form detections (the packing exists only to make the device->host
+    readback a single transfer)."""
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_pooling_tpu.models import pipeline as pl
+    from sparse_pooling_tpu.runtime.evaluator import Evaluator
+
+    ev = Evaluator(cfg)
+    params = ev._params_template()
+    arrays, _ = next(ev.dataset.batches(2, 0, augment=False))
+    batch = pl.RawSample(*(jnp.array(a) for a in arrays))
+    want = ev._make_eval_fn()(params, batch)
+    got = Evaluator._unpack_det(np.asarray(ev._make_eval_fn(packed=True)(params, batch)))
+    assert sorted(got) == sorted(want)
+    np.testing.assert_allclose(got["boxes_3d"], np.asarray(want["boxes_3d"]), rtol=1e-6)
+    np.testing.assert_allclose(got["scores"], np.asarray(want["scores"]), rtol=1e-6)
+    np.testing.assert_array_equal(got["valid"], np.asarray(want["valid"]))
+
+
 def test_prediction_writer_round_trip(tmp_path):
     from sparse_pooling_tpu.data.labels import read_labels
     from sparse_pooling_tpu.runtime import predictions as pred_mod
