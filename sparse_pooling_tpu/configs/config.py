@@ -84,6 +84,14 @@ class ImageConfig:
     height: int = 384
     width: int = 1248
     channels: int = 3
+    # True: the host pads the raw decoded image into the canvas (top-left)
+    # and the jitted graph resizes it with two separable bilinear matmuls
+    # (ops.image_resize) — removes the 18.6 ms/frame host PIL resize that
+    # dominated the eval loader on a 1-core VM. False: host PIL resize
+    # (the round-1/2 behavior). Falls back to host resize per frame when
+    # the raw image exceeds the canvas (device path needs the raw content
+    # to fit).
+    device_resize: bool = True
 
 
 @_freeze

@@ -44,14 +44,20 @@ class HostSample:
     gt_boxes_3d: np.ndarray  # [G, 7] f32
     gt_valid: np.ndarray  # [G] bool
     gt_classes: np.ndarray  # [G] int32
+    # [2] f32 (sy, sx) canvas/raw for the in-graph resize; (1, 1) when the
+    # image field is already canvas-resized (host-resize path)
+    image_scale: np.ndarray = None
     raw_image_hw: tuple = (0, 0)
+
+    NUM_ARRAYS = 9
 
     def as_arrays(self) -> tuple:
         """Field order matches RawSample."""
 
         return (
             self.points, self.points_mask, self.image, self.p2,
-            self.ground_plane, self.gt_boxes_3d, self.gt_valid, self.gt_classes,
+            self.ground_plane, self.gt_boxes_3d, self.gt_valid,
+            self.gt_classes, self.image_scale,
         )
 
 
@@ -96,10 +102,14 @@ class KittiDataset:
 
         mc = self.model_cfg
         cal = calib_mod.read_calibration(self._path("calib", sid, ".txt"))
-        img = np.asarray(Image.open(self._path("image_2", sid, ".png")).convert("RGB"))
+        # .convert("RGB") on an already-RGB image is a 3.6 ms/frame copy
+        img_pil = Image.open(self._path("image_2", sid, ".png"))
+        if img_pil.mode != "RGB":
+            img_pil = img_pil.convert("RGB")
+        img = np.asarray(img_pil)
         raw_hw = img.shape[:2]
-        pts = pointcloud.get_lidar_point_cloud(
-            self._path("velodyne", sid, ".bin"), cal, raw_hw
+        pts = pointcloud.load_points_filtered(
+            self._path("velodyne", sid, ".bin"), cal, raw_hw, self.extents
         )
         plane_path = self._path("planes", sid, ".txt")
         if os.path.exists(plane_path):
@@ -115,22 +125,39 @@ class KittiDataset:
             rng = np.random.RandomState(augment_seed)
             if self.cfg.aug_flip and rng.rand() < 0.5:
                 img, pts, cal, gt = aug.flip_sample(img, pts, cal, gt)
+                # the fused loader filtered extents pre-flip; asymmetric
+                # extents (or the half-open x bound) can differ post-flip
+                pts = pointcloud.filter_to_area_extents(pts, self.extents)
             if self.cfg.aug_pca_jitter:
                 img = aug.pca_jitter(img, rng)
 
-        # image -> fixed canvas (resize; P2 scales with it)
+        # image -> fixed canvas (P2 scales with the canvas/raw ratio either
+        # way). device_resize: memcpy the raw content top-left and let the
+        # graph resample it (ops.image_resize) — the host PIL resize was
+        # 18.6 ms/frame, the largest eval-loader item on a 1-core VM.
         sy = mc.image.height / raw_hw[0]
         sx = mc.image.width / raw_hw[1]
-        img_canvas = np.asarray(
-            Image.fromarray(img).resize(
-                (mc.image.width, mc.image.height), Image.BILINEAR
+        if (
+            mc.image.device_resize
+            and raw_hw[0] <= mc.image.height
+            and raw_hw[1] <= mc.image.width
+        ):
+            img_canvas = np.zeros(
+                (mc.image.height, mc.image.width, 3), np.uint8
             )
-        )
+            img_canvas[: raw_hw[0], : raw_hw[1]] = img
+            image_scale = np.array([sy, sx], np.float32)
+        else:
+            img_canvas = np.asarray(
+                Image.fromarray(img).resize(
+                    (mc.image.width, mc.image.height), Image.BILINEAR
+                )
+            )
+            image_scale = np.ones((2,), np.float32)
         p2 = cal.p2.astype(np.float32).copy()
         p2[0] *= sx
         p2[1] *= sy
 
-        pts = pointcloud.filter_to_area_extents(pts, self.extents)
         padded, mask = pointcloud.pad_or_subsample(
             pts.astype(np.float32), mc.sparse_pool.max_points,
             seed=int(sid) if sid.isdigit() else 0,
@@ -154,6 +181,7 @@ class KittiDataset:
             gt_boxes_3d=gt_boxes,
             gt_valid=gt_valid,
             gt_classes=gt_cls,
+            image_scale=image_scale,
             raw_image_hw=raw_hw,
         )
 
@@ -189,7 +217,7 @@ class KittiDataset:
             ]
             stacked = tuple(
                 np.stack([s.as_arrays()[i] for s in samples])
-                for i in range(8)
+                for i in range(HostSample.NUM_ARRAYS)
             )
             yield self._bucket(stacked), chunk
 

@@ -40,6 +40,41 @@ def get_lidar_point_cloud(
     return pts_cam
 
 
+def load_points_filtered(
+    velo_path: str,
+    calib: FrameCalib,
+    image_shape: Tuple[int, int],
+    extents: AreaExtents,
+) -> np.ndarray:
+    """Scan -> cam frame, image-frustum AND area-extents filtered in ONE
+    masking pass (N, 3).
+
+    Semantics == ``get_lidar_point_cloud(...)`` then
+    ``filter_to_area_extents(...)``; fused because each boolean index copies
+    the whole array and the eval loader runs on a single host core
+    (tools/eval_sweep_tpu.py breakdown).
+    """
+
+    pts = lidar_to_cam_frame(load_velodyne(velo_path), calib)
+    h, w = image_shape
+    uv = project_to_image(pts, calib.p2)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    m = (
+        (z > 0.0)
+        & (uv[:, 0] >= 0.0)
+        & (uv[:, 0] <= w - 1.0)
+        & (uv[:, 1] >= 0.0)
+        & (uv[:, 1] <= h - 1.0)
+        & (x >= extents.x_min)
+        & (x < extents.x_max)
+        & (y >= extents.y_min)
+        & (y < extents.y_max)
+        & (z >= extents.z_min)
+        & (z < extents.z_max)
+    )
+    return pts[np.nan_to_num(m, nan=False)]
+
+
 def filter_to_image_frustum(
     points_cam: np.ndarray, p2: np.ndarray, image_shape: Tuple[int, int]
 ) -> np.ndarray:

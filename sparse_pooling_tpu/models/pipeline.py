@@ -33,12 +33,16 @@ class RawSample(NamedTuple):
 
     points: jnp.ndarray  # [P, 3] f32 cam-frame, zero-padded
     points_mask: jnp.ndarray  # [P] bool
-    image: jnp.ndarray  # [Hi, Wi, 3] uint8 canvas
+    image: jnp.ndarray  # [Hi, Wi, 3] uint8 canvas (resized, or padded raw
+    # when image_scale is set and ImageConfig.device_resize is on)
     p2: jnp.ndarray  # [3, 4] f32 canvas-scaled
     ground_plane: jnp.ndarray  # [4] f32
     gt_boxes_3d: jnp.ndarray  # [G, 7] f32 padded
     gt_valid: jnp.ndarray  # [G] bool
     gt_classes: jnp.ndarray  # [G] int32
+    # [2] f32 (sy, sx) = canvas/raw for the in-graph resize; None (legacy
+    # constructors) means the image is already canvas-resized
+    image_scale: Any = None
 
 
 def static_anchor_grid(cfg: ModelConfig, extents: AreaExtents) -> np.ndarray:
@@ -142,7 +146,14 @@ def build_model_inputs_batch(
     bev_input = bev_device.bev_maps_from_points_batch(
         batch.points, batch.points_mask, batch.ground_plane, extents, cfg.bev
     )
-    image = batch.image.astype(jnp.float32) / 255.0
+    if cfg.image.device_resize and batch.image_scale is not None:
+        from sparse_pooling_tpu.ops import image_resize
+
+        image = image_resize.resize_bilinear_batch(
+            batch.image, batch.image_scale
+        )
+    else:
+        image = batch.image.astype(jnp.float32) / 255.0
     m_bev, m_fv = sparse_build.build_coo_device(
         batch.points, batch.points_mask, batch.p2, extents, cfg.bev,
         cfg.image, cfg.sparse_pool,

@@ -144,10 +144,12 @@ class Evaluator:
                 yield self._stack(samples, chunk)
 
     def _stack(self, samples, chunk):
+        from sparse_pooling_tpu.data.dataset import HostSample
+
         arrays = self.dataset._bucket(
             tuple(
                 np.stack([s.as_arrays()[i] for s in samples])
-                for i in range(8)
+                for i in range(HostSample.NUM_ARRAYS)
             )
         )
         return pl.RawSample(*arrays), (chunk, samples)

@@ -66,6 +66,7 @@ def serving_input_spec(
         gt_boxes_3d=s((g, 7), jnp.float32),
         gt_valid=s((g,), jnp.bool_),
         gt_classes=s((g,), jnp.int32),
+        image_scale=s((2,), jnp.float32),
     )
 
 
