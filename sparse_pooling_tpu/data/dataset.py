@@ -100,17 +100,39 @@ class KittiDataset:
 
         from PIL import Image
 
+        from sparse_pooling_tpu.native import sample_loader as native_loader
+
         mc = self.model_cfg
         cal = calib_mod.read_calibration(self._path("calib", sid, ".txt"))
-        # .convert("RGB") on an already-RGB image is a 3.6 ms/frame copy
-        img_pil = Image.open(self._path("image_2", sid, ".png"))
-        if img_pil.mode != "RGB":
-            img_pil = img_pil.convert("RGB")
-        img = np.asarray(img_pil)
-        raw_hw = img.shape[:2]
-        pts = pointcloud.load_points_filtered(
-            self._path("velodyne", sid, ".bin"), cal, raw_hw, self.extents
-        )
+        # native decode writes RGB rows straight into the zeroed canvas and
+        # releases the GIL (C call), so the eval loader threads genuinely
+        # overlap the consumer on a 1-core host; PIL twin as fallback
+        img_path = self._path("image_2", sid, ".png")
+        canvas = None
+        if mc.image.device_resize and native_loader.available():
+            res = native_loader.decode_png_canvas(
+                img_path, mc.image.height, mc.image.width
+            )
+            if res is not None:
+                canvas, raw_hw = res
+                img = canvas[: raw_hw[0], : raw_hw[1]]
+        if canvas is None:
+            # .convert("RGB") on an already-RGB image is a 3.6 ms copy
+            img_pil = Image.open(img_path)
+            if img_pil.mode != "RGB":
+                img_pil = img_pil.convert("RGB")
+            img = np.asarray(img_pil)
+            raw_hw = img.shape[:2]
+        pts = None
+        if native_loader.available():
+            pts = native_loader.load_points(
+                self._path("velodyne", sid, ".bin"), cal.velo_to_rect(),
+                cal.p2, raw_hw, self.extents,
+            )
+        if pts is None:
+            pts = pointcloud.load_points_filtered(
+                self._path("velodyne", sid, ".bin"), cal, raw_hw, self.extents
+            )
         plane_path = self._path("planes", sid, ".txt")
         if os.path.exists(plane_path):
             plane = labels_mod.read_ground_plane(plane_path)
@@ -123,13 +145,19 @@ class KittiDataset:
 
         if augment_seed is not None:
             rng = np.random.RandomState(augment_seed)
+            dirty = False
             if self.cfg.aug_flip and rng.rand() < 0.5:
                 img, pts, cal, gt = aug.flip_sample(img, pts, cal, gt)
                 # the fused loader filtered extents pre-flip; asymmetric
                 # extents (or the half-open x bound) can differ post-flip
                 pts = pointcloud.filter_to_area_extents(pts, self.extents)
+                dirty = True
             if self.cfg.aug_pca_jitter:
                 img = aug.pca_jitter(img, rng)
+                dirty = True
+            if canvas is not None and dirty:
+                # img is a fresh augmented array; re-place it in the canvas
+                canvas[: raw_hw[0], : raw_hw[1]] = img
 
         # image -> fixed canvas (P2 scales with the canvas/raw ratio either
         # way). device_resize: memcpy the raw content top-left and let the
@@ -142,10 +170,13 @@ class KittiDataset:
             and raw_hw[0] <= mc.image.height
             and raw_hw[1] <= mc.image.width
         ):
-            img_canvas = np.zeros(
-                (mc.image.height, mc.image.width, 3), np.uint8
-            )
-            img_canvas[: raw_hw[0], : raw_hw[1]] = img
+            if canvas is not None:
+                img_canvas = canvas  # native decode already placed the raw
+            else:
+                img_canvas = np.zeros(
+                    (mc.image.height, mc.image.width, 3), np.uint8
+                )
+                img_canvas[: raw_hw[0], : raw_hw[1]] = img
             image_scale = np.array([sy, sx], np.float32)
         else:
             img_canvas = np.asarray(

@@ -44,6 +44,7 @@ def main():
     _spt.enable_compile_cache()
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from sparse_pooling_tpu.configs import cars_pyramid_config
     from sparse_pooling_tpu.data import synthetic
@@ -60,6 +61,18 @@ def main():
         )
         open(marker, "w").write("ok\n")
         print(f"[sweep] generated {args.frames} frames in {time.time() - t0:.0f}s")
+
+    # this environment reaches the chip through a tunneled runtime whose
+    # bandwidth VARIES (measured 36-300 MB/s across sessions); the sweep is
+    # transfer-bound below ~100 MB/s (1.64 MB/frame of image+points), so
+    # print the link speed at measurement time or the fps is uninterpretable
+    probe = np.ones((8, 384, 1248, 3), np.uint8)  # the eval image payload
+    jax.device_put(probe[:1]).block_until_ready()  # warm the runtime
+    t0 = time.time()
+    jax.device_put(probe).block_until_ready()
+    up_mbs = probe.nbytes / 1e6 / (time.time() - t0)
+    print(f"[sweep] tunnel upload bandwidth now: {up_mbs:.0f} MB/s "
+          f"(transfer-bound fps ceiling ~{up_mbs / 1.64:.0f})")
 
     cfg = cars_pyramid_config()
     cfg = dataclasses.replace(
