@@ -15,6 +15,7 @@ from typing import Dict, Sequence
 import numpy as np
 
 from sparse_pooling_tpu.data.calib import project_to_image
+from sparse_pooling_tpu.native import pred_format
 
 
 def _box_3d_to_corners_np(boxes: np.ndarray) -> np.ndarray:
@@ -38,17 +39,17 @@ def _box_3d_to_corners_np(boxes: np.ndarray) -> np.ndarray:
     return np.concatenate([bottom, top], axis=1)
 
 
-def detections_to_kitti_rows(
+def _detections_numeric_block(
     det: Dict[str, np.ndarray],
-    class_names: Sequence[str],
     p2_raw: np.ndarray,
     raw_image_hw,
-    score_threshold: float = 0.1,
+    score_threshold: float,
 ):
-    """Decoded per-class detections -> list of KITTI row strings.
+    """Decoded per-class detections -> (num [N, 13] f64, cls [N] i32).
 
-    Fully vectorized (one corner/projection pass over every kept box);
-    Python only string-formats the survivors, in (class, k) order.
+    Fully vectorized (one corner/projection pass over every kept box),
+    survivors in (class, k) order. Column order matches the KITTI row
+    ``alpha x1 y1 x2 y2 h w l x y z ry score``.
     """
 
     boxes = np.asarray(det["boxes_3d"], dtype=np.float64)  # [C, K, 7]
@@ -58,7 +59,7 @@ def detections_to_kitti_rows(
     keep = valid & (scores >= score_threshold)
     ci_idx, k_idx = np.nonzero(keep)  # row-major: class, then k ascending
     if ci_idx.size == 0:
-        return []
+        return np.zeros((0, 13)), np.zeros((0,), np.int32)
     b = boxes[ci_idx, k_idx]  # [N, 7]
     corners = _box_3d_to_corners_np(b)
     uv = project_to_image(corners.reshape(-1, 3), p2_raw).reshape(-1, 8, 2)
@@ -71,18 +72,35 @@ def detections_to_kitti_rows(
     ok = finite & (x2 > x1) & (y2 > y1)
     alpha = b[:, 6] - np.arctan2(b[:, 0], b[:, 2])
     sc = scores[ci_idx, k_idx]
-    # one fused numeric block per row; %-formatting a pre-stacked row is
-    # ~40% faster than per-field f-strings (eval writer runs per frame on
-    # a single host core)
-    idx = np.nonzero(ok)[0]
     num = np.column_stack(
         [alpha, x1, y1, x2, y2, b[:, 5], b[:, 4], b[:, 3],
          b[:, 0], b[:, 1], b[:, 2], b[:, 6], sc]
-    )[idx]
+    )[ok]
+    return num, ci_idx[ok].astype(np.int32)
+
+
+def detections_to_kitti_rows(
+    det: Dict[str, np.ndarray],
+    class_names: Sequence[str],
+    p2_raw: np.ndarray,
+    raw_image_hw,
+    score_threshold: float = 0.1,
+):
+    """Decoded per-class detections -> list of KITTI row strings.
+
+    Python formatter path; ``write_predictions`` prefers the native C
+    formatter (byte-identical, GIL-releasing) when it is available.
+    %-formatting a pre-stacked row is ~40% faster than per-field f-strings
+    (eval writer runs per frame on a single host core).
+    """
+
+    num, cls = _detections_numeric_block(
+        det, p2_raw, raw_image_hw, score_threshold
+    )
     fmt = " ".join(["%.6f"] * 13)
     return [
-        f"{class_names[ci_idx[i]]} -1 -1 " + fmt % tuple(r)
-        for i, r in zip(idx, num)
+        f"{class_names[c]} -1 -1 " + fmt % tuple(r)
+        for c, r in zip(cls, num)
     ]
 
 
@@ -96,8 +114,16 @@ def write_predictions(
     score_threshold: float = 0.1,
 ):
     os.makedirs(out_dir, exist_ok=True)
-    rows = detections_to_kitti_rows(
-        det, class_names, p2_raw, raw_image_hw, score_threshold
+    path = os.path.join(out_dir, sample_id + ".txt")
+    num, cls = _detections_numeric_block(
+        det, p2_raw, raw_image_hw, score_threshold
     )
-    with open(os.path.join(out_dir, sample_id + ".txt"), "w") as f:
-        f.write("\n".join(rows) + ("\n" if rows else ""))
+    content = pred_format.format_rows(num, cls, class_names)
+    if content is None:  # no native toolchain — Python formatter fallback
+        fmt = " ".join(["%.6f"] * 13)
+        content = "".join(
+            f"{class_names[c]} -1 -1 " + fmt % tuple(r) + "\n"
+            for c, r in zip(cls, num)
+        ).encode()
+    with open(path, "wb") as f:
+        f.write(content)

@@ -183,6 +183,57 @@ def test_kitti_rows_numpy_corners_parity():
         assert float(f[13]) > 0  # z in front of the camera
 
 
+def test_native_pred_format_byte_parity(tmp_path):
+    """The C formatter must produce byte-identical txt content to the
+    Python %.6f path (both are correctly-rounded), including edge values
+    (negatives, tiny, huge-but-in-range, multiple classes, empty file)."""
+
+    from sparse_pooling_tpu.native import pred_format
+    from sparse_pooling_tpu.runtime import predictions as pred_mod
+
+    if not pred_format.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    rng = np.random.RandomState(7)
+    n = 257
+    num = rng.uniform(-100, 1500, (n, 13))
+    num[0] = [0.0, -0.0, 1e-7, 1241.0, 374.999999, 0.5, 0.5, 0.5,
+              -39.9999995, 1.5, 69.999999, -3.14159265, 1.0]
+    cls = rng.randint(0, 3, n).astype(np.int32)
+    names = ["Car", "Pedestrian", "Cyclist"]
+
+    got = pred_format.format_rows(num, cls, names)
+    fmt = " ".join(["%.6f"] * 13)
+    want = "".join(
+        f"{names[c]} -1 -1 " + fmt % tuple(r) + "\n"
+        for c, r in zip(cls, num)
+    ).encode()
+    assert got == want
+
+    assert pred_format.format_rows(
+        np.zeros((0, 13)), np.zeros((0,), np.int32), names
+    ) == b""
+
+    # and through the writer: file content identical to the row API
+    det = {
+        "boxes_3d": np.array([[[1.0, 1.65, 20.0, 3.9, 1.6, 1.5, 0.3],
+                               [-2.0, 1.5, 8.0, 0.8, 0.6, 1.7, -1.2]]]),
+        "scores": np.array([[0.9, 0.4]]),
+        "valid": np.array([[True, True]]),
+    }
+    p2 = np.array([[700.0, 0, 600, 0], [0, 700.0, 180, 0], [0, 0, 1.0, 0]])
+    pred_mod.write_predictions(
+        str(tmp_path), "000001", det, ["Car"], p2, (375, 1242), 0.1
+    )
+    rows = pred_mod.detections_to_kitti_rows(
+        det, ["Car"], p2, (375, 1242), 0.1
+    )
+    content = (tmp_path / "000001.txt").read_bytes()
+    assert content == ("\n".join(rows) + "\n").encode()
+
+
 def test_training_cli(cfg, tmp_path):
     import json as _json
 
