@@ -366,6 +366,12 @@ class EvalConfig:
     # remote runtime's per-call round trip (~0.7 s/batch tunneled, 8x the
     # graph time) with device execution. 1 = fully synchronous.
     inflight_batches: int = 2
+    # batches whose packed detections are device-stacked and read back in
+    # ONE transfer: the blocking device->host fetch is round-trip-LATENCY
+    # bound through the tunneled runtime (readback measured 94-227 s of a
+    # 3.7k-frame sweep at 464 per-batch fetches of ~86 KB each), so fewer,
+    # bigger fetches win. 1 = per-batch readback.
+    readback_group: int = 8
     # shard the val batch over every visible device (pure DP mesh; params
     # replicate). False -> single-device eval.
     data_parallel: bool = True
