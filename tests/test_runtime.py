@@ -96,6 +96,45 @@ def test_evaluator_sweep(cfg):
     assert ev.repeated_checkpoint_run(max_wait=0) == []
 
 
+def test_evaluator_grouped_readback_parity(cfg, tmp_path):
+    """Grouped device->host readback (readback_group stacking N batches
+    into one transfer) must be byte-identical to per-batch readback across
+    full groups AND the ragged tail."""
+
+    import hashlib
+
+    from sparse_pooling_tpu.runtime.evaluator import Evaluator
+
+    def run(group, exp_dir):
+        c = dataclasses.replace(
+            cfg,
+            experiments_dir=str(exp_dir),
+            dataset=dataclasses.replace(cfg.dataset, split="trainval"),
+            eval=dataclasses.replace(
+                cfg.eval, batch_size=1, readback_group=group, inflight_batches=1
+            ),
+        )
+        ev = Evaluator(c)
+        params = ev._params_template()
+        r = ev.run_checkpoint_once(step=0, params=params)
+        txts = sorted(
+            glob.glob(os.path.join(ev.workdir, "predictions", "**", "*.txt"),
+                      recursive=True)
+        )
+        h = hashlib.sha256(
+            b"".join(open(t, "rb").read() for t in txts)
+        ).hexdigest()
+        return r, len(txts), h
+
+    # 3 frames at batch 1: group=2 -> one full group + tail of 1
+    r2, n2, h2 = run(2, tmp_path / "g2")
+    r1, n1, h1 = run(1, tmp_path / "g1")
+    assert r2["num_frames"] == r1["num_frames"] == 3
+    assert n2 == n1 == 3
+    assert h2 == h1
+    assert r2["ap"] == r1["ap"]
+
+
 def test_evaluator_packed_eval_fn_matches_dict(cfg):
     """The sweep-loop packed [B,C,K,9] result must unpack to exactly the
     dict-form detections (the packing exists only to make the device->host
