@@ -375,6 +375,11 @@ class EvalConfig:
     # shard the val batch over every visible device (pure DP mesh; params
     # replicate). False -> single-device eval.
     data_parallel: bool = True
+    # also dump RPN proposals per frame (reference evaluator writes BOTH
+    # proposals and final detections: proposals_and_scores txt rows
+    # "x y z dx dy dz score" in anchor form). Off by default: it grows the
+    # per-batch readback payload by [B, P, 8].
+    save_rpn_proposals: bool = False
 
 
 @_freeze

@@ -73,7 +73,7 @@ class Evaluator:
             self.mesh = None
 
     # ------------------------------------------------------------ forward
-    def _make_eval_fn(self, packed: bool = False):
+    def _make_eval_fn(self, packed: bool = False, with_proposals: bool = False):
         """Jitted batch forward+decode.
 
         packed=False (default, export/parity API): detections dict.
@@ -82,6 +82,9 @@ class Evaluator:
         device->host np.asarray is a separate blocking round trip through
         this environment's tunneled runtime (~0.2 s each — measured 289 s
         of a 410 s 3.7k-frame sweep across 3 leaves x 464 batches).
+        with_proposals additionally returns RPN proposals packed
+        [B, P, 8] (anchor form + objectness score + valid flag) for the
+        reference evaluator's proposals_and_scores dump.
         """
 
         cfg, ext = self.cfg.model, self.extents
@@ -94,7 +97,7 @@ class Evaluator:
             det = pl.decode_batch(out, batch.ground_plane, cfg, ext)
             if not packed:
                 return det
-            return jnp.concatenate(
+            det_packed = jnp.concatenate(
                 [
                     det["boxes_3d"],
                     det["scores"][..., None],
@@ -102,6 +105,17 @@ class Evaluator:
                 ],
                 axis=-1,
             )
+            if not with_proposals:
+                return det_packed
+            prop_packed = jnp.concatenate(
+                [
+                    out["proposals"],
+                    out["proposal_scores"][..., None],
+                    out["proposal_valid"][..., None].astype(jnp.float32),
+                ],
+                axis=-1,
+            )
+            return det_packed, prop_packed
 
         return eval_fn
 
@@ -163,8 +177,11 @@ class Evaluator:
             params = ckpt_mod.restore_params(
                 self.ckpt_dir, step, self._params_template(), build_optimizer(cfg)
             )
+        save_props = bool(getattr(cfg.eval, "save_rpn_proposals", False))
         if self._eval_fn is None:
-            self._eval_fn = self._make_eval_fn(packed=True)
+            self._eval_fn = self._make_eval_fn(
+                packed=True, with_proposals=save_props
+            )
         if self.mesh is not None:
             from sparse_pooling_tpu.parallel import mesh as mesh_mod
 
@@ -176,6 +193,11 @@ class Evaluator:
             f"{thresh:g}", str(step), "data",
         )
         os.makedirs(pred_dir, exist_ok=True)
+        prop_dir = os.path.join(
+            self.workdir, "predictions", "proposals_and_scores", str(step)
+        )
+        if save_props:
+            os.makedirs(prop_dir, exist_ok=True)
 
         # batched forward with a double-buffered host->device pipeline
         # (SURVEY.md §4.2: the reference evaluates sample-at-a-time through
@@ -210,11 +232,16 @@ class Evaluator:
             t_ph = time.perf_counter()
             if len(entries) == 1:
                 packed = np.asarray(entries[0][0])[None]
+                props = np.asarray(entries[0][1])[None] if save_props else None
             else:
                 packed = np.asarray(jnp.stack([e[0] for e in entries]))
+                props = (
+                    np.asarray(jnp.stack([e[1] for e in entries]))
+                    if save_props else None
+                )
             ph["readback"] += time.perf_counter() - t_ph
             t_ph = time.perf_counter()
-            for g, (_, chunk, samples) in enumerate(entries):
+            for g, (_, _, chunk, samples) in enumerate(entries):
                 det_b = self._unpack_det(packed[g])
                 for i, sid in enumerate(chunk):
                     det = jax.tree.map(lambda x: x[i], det_b)
@@ -229,6 +256,12 @@ class Evaluator:
                         pred_dir, sid, det, cfg.model.classes, p2_raw,
                         sample.raw_image_hw, score_threshold=thresh,
                     )
+                    if props is not None:
+                        rows = props[g, i]  # [P, 8]: anchor6 + score + valid
+                        np.savetxt(
+                            os.path.join(prop_dir, sid + ".txt"),
+                            rows[rows[:, 7] > 0.5, :7], fmt="%.6f",
+                        )
                     n += 1
             ph["write"] += time.perf_counter() - t_ph
 
@@ -247,8 +280,9 @@ class Evaluator:
             for batch, (chunk, samples) in prefetch:
                 ph["wait"] += time.perf_counter() - t_it
                 t_ph = time.perf_counter()
-                det_dev = self._eval_fn(params, batch)
-                inflight.append((det_dev, chunk, samples))
+                out_dev = self._eval_fn(params, batch)
+                det_dev, prop_dev = out_dev if save_props else (out_dev, None)
+                inflight.append((det_dev, prop_dev, chunk, samples))
                 ph["dispatch"] += time.perf_counter() - t_ph
                 if len(inflight) >= depth:
                     _drain_group([inflight.popleft() for _ in range(group)])

@@ -96,6 +96,41 @@ def test_evaluator_sweep(cfg):
     assert ev.repeated_checkpoint_run(max_wait=0) == []
 
 
+def test_evaluator_saves_rpn_proposals(cfg, tmp_path):
+    """eval.save_rpn_proposals dumps per-frame proposals_and_scores txt
+    (reference evaluator writes BOTH proposals and final detections):
+    one row per valid proposal, 7 cols = anchor form [x y z dx dy dz] +
+    objectness score, scores in the RPN's descending top-k order."""
+
+    from sparse_pooling_tpu.runtime.evaluator import Evaluator
+
+    c = dataclasses.replace(
+        cfg,
+        experiments_dir=str(tmp_path),
+        dataset=dataclasses.replace(cfg.dataset, split="val"),
+        eval=dataclasses.replace(cfg.eval, save_rpn_proposals=True),
+    )
+    ev = Evaluator(c)
+    params = ev._params_template()
+    r = ev.run_checkpoint_once(step=0, params=params)
+    assert r["num_frames"] == 1
+    prop_files = glob.glob(
+        os.path.join(ev.workdir, "predictions", "proposals_and_scores",
+                     "0", "*.txt")
+    )
+    assert len(prop_files) == 1
+    rows = np.loadtxt(prop_files[0], ndmin=2)
+    assert rows.shape[1] == 7 and rows.shape[0] >= 1
+    assert (rows[:, 3:6] > 0).all()  # positive box dims
+    scores = rows[:, 6]
+    assert (scores[:-1] >= scores[1:]).all()  # top-k order
+    # detections still written alongside
+    assert glob.glob(
+        os.path.join(ev.workdir, "predictions", "kitti_native_eval",
+                     "*", "0", "data", "*.txt")
+    )
+
+
 def test_evaluator_grouped_readback_parity(cfg, tmp_path):
     """Grouped device->host readback (readback_group stacking N batches
     into one transfer) must be byte-identical to per-batch readback across
