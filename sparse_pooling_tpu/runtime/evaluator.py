@@ -143,19 +143,42 @@ class Evaluator:
         from concurrent.futures import ThreadPoolExecutor
 
         ids = list(self.dataset.sample_ids)
-        workers = max(int(getattr(self.cfg.eval, "num_workers", 4)), 1)
-        with ThreadPoolExecutor(max_workers=workers) as pool:
+        # cap threads at the host core count: on a 1-core VM the pool ADDS
+        # ~1.3 ms/frame of overhead over the serial loop (measured,
+        # tools/profile_host_pipeline.py) since only the native decode's
+        # GIL-released stretch can actually overlap
+        workers = max(
+            min(int(getattr(self.cfg.eval, "num_workers", 4)),
+                os.cpu_count() or 1),
+            1,
+        )
+
+        def _chunks():
             for start in range(0, len(ids), batch_size):
-                chunk = ids[start : start + batch_size]
+                yield ids[start : start + batch_size]
+
+        def _emit(chunk, samples):
+            while len(samples) < batch_size:
+                samples.append(samples[-1])
+            return self._stack(samples, chunk)
+
+        if workers == 1:
+            for chunk in _chunks():
+                yield _emit(
+                    chunk,
+                    [self.dataset.load_sample(s, augment_seed=None)
+                     for s in chunk],
+                )
+            return
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for chunk in _chunks():
                 samples = list(
                     pool.map(
                         lambda s: self.dataset.load_sample(s, augment_seed=None),
                         chunk,
                     )
                 )
-                while len(samples) < batch_size:
-                    samples.append(samples[-1])
-                yield self._stack(samples, chunk)
+                yield _emit(chunk, samples)
 
     def _stack(self, samples, chunk):
         from sparse_pooling_tpu.data.dataset import HostSample
