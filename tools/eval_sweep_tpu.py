@@ -69,10 +69,24 @@ def main():
     probe = np.ones((8, 384, 1248, 3), np.uint8)  # the eval image payload
     jax.device_put(probe[:1]).block_until_ready()  # warm the runtime
     t0 = time.time()
-    jax.device_put(probe).block_until_ready()
+    dev = jax.device_put(probe)
+    dev.block_until_ready()
     up_mbs = probe.nbytes / 1e6 / (time.time() - t0)
-    print(f"[sweep] tunnel upload bandwidth now: {up_mbs:.0f} MB/s "
-          f"(transfer-bound fps ceiling ~{up_mbs / 1.64:.0f})")
+    # readback direction: per-fetch round-trip latency dominates the sweep's
+    # readback phase (~86 KB packed detections/batch), so probe BOTH a tiny
+    # fetch (latency) and a big one (bandwidth)
+    tiny = jax.device_put(np.ones((64,), np.float32))
+    np.asarray(tiny)
+    t0 = time.time()
+    for _ in range(5):
+        np.asarray(tiny)
+    rt_ms = (time.time() - t0) / 5 * 1e3
+    t0 = time.time()
+    np.asarray(dev)
+    down_mbs = probe.nbytes / 1e6 / (time.time() - t0)
+    print(f"[sweep] tunnel now: up {up_mbs:.0f} MB/s, down {down_mbs:.0f} "
+          f"MB/s, fetch round-trip {rt_ms:.0f} ms "
+          f"(upload-bound fps ceiling ~{up_mbs / 1.64:.0f})")
 
     cfg = cars_pyramid_config()
     cfg = dataclasses.replace(
