@@ -22,17 +22,26 @@ AVOD-style two-stage 3D detector for KITTI), re-designed TPU-first:
 __version__ = "0.1.0"
 
 
-def enable_compile_cache(path: str = "/tmp/spt_tpu_cache") -> None:
+def enable_compile_cache(path: str | None = None) -> None:
     """Turn on JAX's persistent compilation cache (verified to work with
     this environment's remote-TPU backend: full-model compiles are 5-25
     MINUTES through the remote compiler, and the cache removes them for
     every process after the first). Called by the experiment CLIs and
-    perf tools; honors an explicit JAX_COMPILATION_CACHE_DIR."""
+    perf tools; honors an explicit JAX_COMPILATION_CACHE_DIR.
+
+    The default lives under the user cache dir, NOT /tmp: /tmp is wiped
+    across machine restarts, which silently re-pays the multi-minute
+    cold compile once per session."""
 
     import os
 
     import jax
 
+    if path is None:
+        path = os.path.join(
+            os.path.expanduser(os.environ.get("XDG_CACHE_HOME", "~/.cache")),
+            "spt_tpu_cache",
+        )
     path = os.environ.get("JAX_COMPILATION_CACHE_DIR", path)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

@@ -372,6 +372,12 @@ class EvalConfig:
     # 3.7k-frame sweep at 464 per-batch fetches of ~86 KB each), so fewer,
     # bigger fetches win. 1 = per-batch readback.
     readback_group: int = 8
+    # drain readback groups on a dedicated writer THREAD: the blocking
+    # device->host fetch holds the consumer for ~115 ms/batch-group through
+    # the tunneled runtime, and txt rendering is GIL-releasing C — moving
+    # both off the dispatch thread lets them overlap the sample loader on a
+    # single-core host (the measured sweep regime). False -> inline drain.
+    async_writer: bool = True
     # shard the val batch over every visible device (pure DP mesh; params
     # replicate). False -> single-device eval.
     data_parallel: bool = True

@@ -239,7 +239,10 @@ class Evaluator:
         # load/put split they locate the sweep bottleneck (wait = worker
         # can't keep up; readback = blocking device->host result fetch;
         # write = KITTI txt formatting)
-        ph = {"wait": 0.0, "dispatch": 0.0, "readback": 0.0, "write": 0.0}
+        ph = {
+            "wait": 0.0, "dispatch": 0.0, "readback": 0.0, "write": 0.0,
+            "submit": 0.0,
+        }
         t0 = time.time()
 
         def _drain_group(entries):
@@ -293,34 +296,84 @@ class Evaluator:
         # s/batch through the tunneled device, 8x the 92 ms graph time)
         # overlaps device execution, and read results back in groups
         # (readback_group) so the blocking fetches amortize that latency.
+        # A dedicated WRITER THREAD drains the groups: the blocking fetch
+        # plus txt rendering otherwise hold the dispatch thread for
+        # ~130 ms/batch, serializing against the sample loader on a 1-core
+        # host. The fetch's network wait and the native formatter both
+        # release the GIL, so the three threads (loader / dispatch /
+        # writer) genuinely overlap. Bounded queue caps device-resident
+        # result arrays at depth + 2*group batches.
+        import queue as queue_mod
+        import threading
         from collections import deque
 
         inflight: deque = deque()
         group = max(int(getattr(cfg.eval, "readback_group", 1)), 1)
         depth = max(int(getattr(cfg.eval, "inflight_batches", 2)), 1) + group - 1
-        with prefetch:  # release the worker even if forward/write raises
-            t_it = time.perf_counter()
-            for batch, (chunk, samples) in prefetch:
-                ph["wait"] += time.perf_counter() - t_it
-                t_ph = time.perf_counter()
-                out_dev = self._eval_fn(params, batch)
-                det_dev, prop_dev = out_dev if save_props else (out_dev, None)
-                inflight.append((det_dev, prop_dev, chunk, samples))
-                ph["dispatch"] += time.perf_counter() - t_ph
-                if len(inflight) >= depth:
-                    _drain_group([inflight.popleft() for _ in range(group)])
+        use_writer = bool(getattr(cfg.eval, "async_writer", True))
+        writer_q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+        writer_err: list = []
+
+        def _writer_loop():
+            while True:
+                entries = writer_q.get()
+                if entries is None:
+                    return
+                if not writer_err:
+                    try:
+                        _drain_group(entries)
+                    except BaseException as e:  # surface on the consumer
+                        writer_err.append(e)
+
+        writer = None
+        if use_writer:
+            writer = threading.Thread(target=_writer_loop, daemon=True)
+            writer.start()
+
+        def _emit(entries):
+            if writer is None:
+                _drain_group(entries)
+                return
+            t_ph = time.perf_counter()
+            writer_q.put(entries)
+            ph["submit"] += time.perf_counter() - t_ph
+            if writer_err:
+                raise writer_err[0]
+
+        try:
+            with prefetch:  # release the worker even if forward/write raises
                 t_it = time.perf_counter()
-            while inflight:
-                _drain_group(
-                    [inflight.popleft() for _ in range(min(group, len(inflight)))]
-                )
+                for batch, (chunk, samples) in prefetch:
+                    ph["wait"] += time.perf_counter() - t_it
+                    t_ph = time.perf_counter()
+                    out_dev = self._eval_fn(params, batch)
+                    det_dev, prop_dev = (
+                        out_dev if save_props else (out_dev, None)
+                    )
+                    inflight.append((det_dev, prop_dev, chunk, samples))
+                    ph["dispatch"] += time.perf_counter() - t_ph
+                    if len(inflight) >= depth:
+                        _emit([inflight.popleft() for _ in range(group)])
+                    t_it = time.perf_counter()
+                while inflight:
+                    _emit(
+                        [inflight.popleft()
+                         for _ in range(min(group, len(inflight)))]
+                    )
+        finally:
+            if writer is not None:
+                writer_q.put(None)
+                writer.join(timeout=60.0)
+        if writer_err:
+            raise writer_err[0]
         dt = time.time() - t0
         wk = prefetch.timings
         print(
             f"[evaluator] phase breakdown over {dt:.1f}s: consumer wait "
-            f"{ph['wait']:.1f} / dispatch {ph['dispatch']:.1f} / readback "
-            f"{ph['readback']:.1f} / txt write {ph['write']:.1f}; worker "
-            f"load {wk['load']:.1f} / device_put {wk['put']:.1f}"
+            f"{ph['wait']:.1f} / dispatch {ph['dispatch']:.1f} / submit "
+            f"{ph['submit']:.1f}; writer readback {ph['readback']:.1f} / "
+            f"txt write {ph['write']:.1f}; worker load {wk['load']:.1f} / "
+            f"device_put {wk['put']:.1f}"
         )
 
         # image summary: first val frame with drawn predictions (reference:

@@ -140,13 +140,14 @@ def test_evaluator_grouped_readback_parity(cfg, tmp_path):
 
     from sparse_pooling_tpu.runtime.evaluator import Evaluator
 
-    def run(group, exp_dir):
+    def run(group, exp_dir, async_writer=True):
         c = dataclasses.replace(
             cfg,
             experiments_dir=str(exp_dir),
             dataset=dataclasses.replace(cfg.dataset, split="trainval"),
             eval=dataclasses.replace(
-                cfg.eval, batch_size=1, readback_group=group, inflight_batches=1
+                cfg.eval, batch_size=1, readback_group=group,
+                inflight_batches=1, async_writer=async_writer,
             ),
         )
         ev = Evaluator(c)
@@ -164,10 +165,12 @@ def test_evaluator_grouped_readback_parity(cfg, tmp_path):
     # 3 frames at batch 1: group=2 -> one full group + tail of 1
     r2, n2, h2 = run(2, tmp_path / "g2")
     r1, n1, h1 = run(1, tmp_path / "g1")
-    assert r2["num_frames"] == r1["num_frames"] == 3
-    assert n2 == n1 == 3
-    assert h2 == h1
-    assert r2["ap"] == r1["ap"]
+    # inline (synchronous) drain must match the writer-thread path too
+    r0, n0, h0 = run(2, tmp_path / "g2sync", async_writer=False)
+    assert r2["num_frames"] == r1["num_frames"] == r0["num_frames"] == 3
+    assert n2 == n1 == n0 == 3
+    assert h2 == h1 == h0
+    assert r2["ap"] == r1["ap"] == r0["ap"]
 
 
 def test_evaluator_packed_eval_fn_matches_dict(cfg):
