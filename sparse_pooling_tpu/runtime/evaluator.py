@@ -157,18 +157,31 @@ class Evaluator:
             for start in range(0, len(ids), batch_size):
                 yield ids[start : start + batch_size]
 
+        # wall vs CPU split for the two loader phases: on a contended
+        # single-core host, wall >> cpu means GIL/scheduler starvation,
+        # wall ~= cpu means the work itself is the cost
+        lt = self._loader_timings = {
+            "load_wall": 0.0, "load_cpu": 0.0,
+            "stack_wall": 0.0, "stack_cpu": 0.0,
+        }
+
         def _emit(chunk, samples):
             while len(samples) < batch_size:
                 samples.append(samples[-1])
-            return self._stack(samples, chunk)
+            t0, c0 = time.perf_counter(), time.thread_time()
+            out = self._stack(samples, chunk)
+            lt["stack_wall"] += time.perf_counter() - t0
+            lt["stack_cpu"] += time.thread_time() - c0
+            return out
 
         if workers == 1:
             for chunk in _chunks():
-                yield _emit(
-                    chunk,
-                    [self.dataset.load_sample(s, augment_seed=None)
-                     for s in chunk],
-                )
+                t0, c0 = time.perf_counter(), time.thread_time()
+                samples = [self.dataset.load_sample(s, augment_seed=None)
+                           for s in chunk]
+                lt["load_wall"] += time.perf_counter() - t0
+                lt["load_cpu"] += time.thread_time() - c0
+                yield _emit(chunk, samples)
             return
         with ThreadPoolExecutor(max_workers=workers) as pool:
             for chunk in _chunks():
@@ -375,6 +388,13 @@ class Evaluator:
             f"txt write {ph['write']:.1f}; worker load {wk['load']:.1f} / "
             f"device_put {wk['put']:.1f}"
         )
+        lt = getattr(self, "_loader_timings", None)
+        if lt is not None and lt["load_wall"] > 0:
+            print(
+                "[evaluator] loader detail: load wall "
+                f"{lt['load_wall']:.1f} cpu {lt['load_cpu']:.1f}; stack wall "
+                f"{lt['stack_wall']:.1f} cpu {lt['stack_cpu']:.1f}"
+            )
 
         # image summary: first val frame with drawn predictions (reference:
         # prediction-image summaries in summary_utils)
