@@ -90,12 +90,21 @@ class KittiDataset:
 
     # ------------------------------------------------------------ loading
     def load_sample(
-        self, sid: str, augment_seed: Optional[int] = None
+        self,
+        sid: str,
+        augment_seed: Optional[int] = None,
+        image_out: Optional[np.ndarray] = None,
     ) -> HostSample:
         """Load + canvas-scale + (optionally) augment + pad one frame.
 
         ``augment_seed`` enables deterministic flip/PCA selection; None
         disables augmentation (eval path).
+
+        ``image_out``: optional ZERO-FILLED [H, W, 3] u8 canvas the image is
+        placed into in place (typically a row of a preallocated batch array,
+        so batch assembly never copies image bytes — the eval sweep's
+        dominant host cost). The returned ``HostSample.image`` is then that
+        array.
         """
 
         from PIL import Image
@@ -111,7 +120,7 @@ class KittiDataset:
         canvas = None
         if mc.image.device_resize and native_loader.available():
             res = native_loader.decode_png_canvas(
-                img_path, mc.image.height, mc.image.width
+                img_path, mc.image.height, mc.image.width, out=image_out
             )
             if res is not None:
                 canvas, raw_hw = res
@@ -173,17 +182,28 @@ class KittiDataset:
             if canvas is not None:
                 img_canvas = canvas  # native decode already placed the raw
             else:
-                img_canvas = np.zeros(
-                    (mc.image.height, mc.image.width, 3), np.uint8
-                )
+                if image_out is not None:
+                    # the native decode may have failed after a partial
+                    # write; restore the zero-fill contract before placing
+                    image_out[:] = 0
+                    img_canvas = image_out
+                else:
+                    img_canvas = np.zeros(
+                        (mc.image.height, mc.image.width, 3), np.uint8
+                    )
                 img_canvas[: raw_hw[0], : raw_hw[1]] = img
             image_scale = np.array([sy, sx], np.float32)
         else:
-            img_canvas = np.asarray(
+            resized = np.asarray(
                 Image.fromarray(img).resize(
                     (mc.image.width, mc.image.height), Image.BILINEAR
                 )
             )
+            if image_out is not None:
+                image_out[:] = resized
+                img_canvas = image_out
+            else:
+                img_canvas = resized
             image_scale = np.ones((2,), np.float32)
         p2 = cal.p2.astype(np.float32).copy()
         p2[0] *= sx
@@ -206,7 +226,8 @@ class KittiDataset:
             sample_id=sid,
             points=padded,
             points_mask=mask,
-            image=img_canvas.astype(np.uint8),
+            # astype always copies; the canvas is already u8 on every path
+            image=np.ascontiguousarray(img_canvas, np.uint8),
             p2=p2,
             ground_plane=plane.astype(np.float32),
             gt_boxes_3d=gt_boxes,
@@ -232,6 +253,7 @@ class KittiDataset:
         ids = self.epoch_ids(epoch)
         for start in range(0, len(ids) - batch_size + 1, batch_size):
             chunk = ids[start : start + batch_size]
+            canvas_b = self.alloc_image_batch(batch_size)
             samples = [
                 self.load_sample(
                     sid,
@@ -243,14 +265,43 @@ class KittiDataset:
                         if augment
                         else None
                     ),
+                    image_out=canvas_b[j],
                 )
-                for sid in chunk
+                for j, sid in enumerate(chunk)
             ]
-            stacked = tuple(
-                np.stack([s.as_arrays()[i] for s in samples])
-                for i in range(HostSample.NUM_ARRAYS)
-            )
-            yield self._bucket(stacked), chunk
+            yield self.stack_samples(samples, image_batch=canvas_b), chunk
+
+    def alloc_image_batch(self, batch_size: int) -> np.ndarray:
+        """Zeroed [B, H, W, 3] u8 canvas batch for ``image_out`` loading."""
+
+        mc = self.model_cfg.image
+        return np.zeros((batch_size, mc.height, mc.width, 3), np.uint8)
+
+    def stack_samples(self, samples, image_batch=None) -> tuple:
+        """HostSamples -> RawSample-ordered batch arrays, minimal copying.
+
+        Point arrays stack as bucket-length PREFIX slices
+        (``pad_or_subsample`` packs valid points first, so the slice is
+        lossless) rather than stacking at the cap and trimming after. The
+        image field — the dominant batch-assembly memcpy: 55 s of CPU over
+        the 3.7k-frame TPU eval sweep, measured — is skipped entirely when
+        the samples were loaded with ``image_out`` views into a
+        caller-owned ``image_batch``.
+        """
+
+        sp = self.model_cfg.sparse_pool
+        n = max(int(s.points_mask.sum()) for s in samples)
+        b = min(pointcloud.pick_bucket(n, sp.buckets, sp.max_points),
+                samples[0].points.shape[0])
+        pts = np.stack([s.points[:b] for s in samples])
+        mask = np.stack([s.points_mask[:b] for s in samples])
+        if image_batch is None:
+            image_batch = np.stack([s.image for s in samples])
+        rest = tuple(
+            np.stack([s.as_arrays()[i] for s in samples])
+            for i in range(3, HostSample.NUM_ARRAYS)
+        )
+        return (pts, mask, image_batch) + rest
 
     def _bucket(self, stacked: tuple) -> tuple:
         """Trim the padded point arrays to the batch's point bucket."""

@@ -156,6 +156,19 @@ def pad_or_subsample(
     return out, mask
 
 
+def pick_bucket(n: int, buckets, cap: int) -> int:
+    """Smallest configured bucket holding ``n`` valid points (else the cap).
+
+    Shared by the stacked-batch trim below and the prefix-slice stacker
+    (``KittiDataset.stack_samples``) so both pick identical shapes — each
+    distinct bucket compiles one XLA graph."""
+
+    for b in buckets:
+        if b >= n:
+            return int(b)
+    return int(cap)
+
+
 def trim_points_to_bucket(
     points_b: np.ndarray,  # [B, cap, 3] prefix-packed (pad_or_subsample)
     mask_b: np.ndarray,  # [B, cap] bool
@@ -171,7 +184,5 @@ def trim_points_to_bucket(
     """
 
     n = int(mask_b.sum(axis=1).max()) if mask_b.size else 0
-    for b in buckets:
-        if b >= n:
-            return points_b[:, :b], mask_b[:, :b]
-    return points_b, mask_b
+    b = min(pick_bucket(n, buckets, points_b.shape[1]), points_b.shape[1])
+    return points_b[:, :b], mask_b[:, :b]

@@ -72,17 +72,29 @@ def available() -> bool:
 
 
 def decode_png_canvas(
-    path: str, canvas_h: int, canvas_w: int
+    path: str, canvas_h: int, canvas_w: int, out: Optional[np.ndarray] = None
 ) -> Optional[Tuple[np.ndarray, Tuple[int, int]]]:
-    """Decode ``path`` into a fresh zeroed canvas [H, W, 3] u8 (raw content
+    """Decode ``path`` into a zeroed canvas [H, W, 3] u8 (raw content
     top-left). Returns (canvas, (raw_h, raw_w)), or None when the library is
     unavailable, the image exceeds the canvas, or decode fails — callers
-    fall back to the PIL path."""
+    fall back to the PIL path.
+
+    ``out``: caller-provided ZERO-FILLED canvas (e.g. one row of a batch
+    array) decoded into in place — the eval loader's per-frame canvas
+    alloc + batch np.stack memcpy was the single largest host cost of the
+    3.7k-frame TPU sweep (55 s of CPU, measured), so the decoder writes
+    straight into the batch array instead. Must be C-contiguous uint8
+    [canvas_h, canvas_w, 3]; only the raw-image region is written."""
 
     lib = _load()
     if lib is None:
         return None
-    canvas = np.zeros((canvas_h, canvas_w, 3), np.uint8)
+    if out is not None:
+        canvas = out
+        assert canvas.shape == (canvas_h, canvas_w, 3)
+        assert canvas.dtype == np.uint8 and canvas.flags.c_contiguous
+    else:
+        canvas = np.zeros((canvas_h, canvas_w, 3), np.uint8)
     rh, rw = ctypes.c_int(), ctypes.c_int()
     rc = lib.spt_decode_png_canvas(
         path.encode(), canvas, canvas_h, canvas_w,

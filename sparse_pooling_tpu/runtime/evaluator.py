@@ -165,11 +165,14 @@ class Evaluator:
             "stack_wall": 0.0, "stack_cpu": 0.0,
         }
 
-        def _emit(chunk, samples):
+        def _emit(chunk, samples, canvas_b):
+            # padded tail: repeat the last sample (and its canvas row)
+            for j in range(len(samples), batch_size):
+                canvas_b[j] = canvas_b[len(samples) - 1]
             while len(samples) < batch_size:
                 samples.append(samples[-1])
             t0, c0 = time.perf_counter(), time.thread_time()
-            out = self._stack(samples, chunk)
+            out = self._stack(samples, chunk, canvas_b)
             lt["stack_wall"] += time.perf_counter() - t0
             lt["stack_cpu"] += time.thread_time() - c0
             return out
@@ -177,31 +180,32 @@ class Evaluator:
         if workers == 1:
             for chunk in _chunks():
                 t0, c0 = time.perf_counter(), time.thread_time()
-                samples = [self.dataset.load_sample(s, augment_seed=None)
-                           for s in chunk]
+                canvas_b = self.dataset.alloc_image_batch(batch_size)
+                samples = [
+                    self.dataset.load_sample(
+                        s, augment_seed=None, image_out=canvas_b[j]
+                    )
+                    for j, s in enumerate(chunk)
+                ]
                 lt["load_wall"] += time.perf_counter() - t0
                 lt["load_cpu"] += time.thread_time() - c0
-                yield _emit(chunk, samples)
+                yield _emit(chunk, samples, canvas_b)
             return
         with ThreadPoolExecutor(max_workers=workers) as pool:
             for chunk in _chunks():
+                canvas_b = self.dataset.alloc_image_batch(batch_size)
                 samples = list(
                     pool.map(
-                        lambda s: self.dataset.load_sample(s, augment_seed=None),
-                        chunk,
+                        lambda js: self.dataset.load_sample(
+                            js[1], augment_seed=None, image_out=canvas_b[js[0]]
+                        ),
+                        enumerate(chunk),
                     )
                 )
-                yield _emit(chunk, samples)
+                yield _emit(chunk, samples, canvas_b)
 
-    def _stack(self, samples, chunk):
-        from sparse_pooling_tpu.data.dataset import HostSample
-
-        arrays = self.dataset._bucket(
-            tuple(
-                np.stack([s.as_arrays()[i] for s in samples])
-                for i in range(HostSample.NUM_ARRAYS)
-            )
-        )
+    def _stack(self, samples, chunk, image_batch=None):
+        arrays = self.dataset.stack_samples(samples, image_batch=image_batch)
         return pl.RawSample(*arrays), (chunk, samples)
 
     # ------------------------------------------------------------ one ckpt

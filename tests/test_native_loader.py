@@ -92,3 +92,58 @@ def test_load_sample_bit_equal_both_paths(tree):
             assert np.array_equal(getattr(s_nat, f), getattr(s_py, f)), (
                 f, seed
             )
+
+
+def test_load_sample_image_out_bit_equal(tree):
+    """image_out (batch-canvas view) loading == fresh-canvas loading, and
+    stack_samples with the caller-owned canvas == the naive np.stack."""
+
+    cfg = cars_pyramid_config()
+    cfg = dataclasses.replace(
+        cfg,
+        dataset=dataclasses.replace(
+            cfg.dataset, root=tree, split="trainval",
+            aug_flip=True, aug_pca_jitter=True,
+        ),
+    )
+    ds = KittiDataset(cfg.dataset, cfg.model, AreaExtents())
+    for seed in (None, 7):  # eval path + an augmented draw
+        canvas_b = ds.alloc_image_batch(2)
+        samples_out = [
+            ds.load_sample(sid, augment_seed=seed, image_out=canvas_b[j])
+            for j, sid in enumerate(("000000", "000001"))
+        ]
+        samples_ref = [
+            ds.load_sample(sid, augment_seed=seed)
+            for sid in ("000000", "000001")
+        ]
+        for s_o, s_r in zip(samples_out, samples_ref):
+            for f in ("points", "points_mask", "image", "p2", "image_scale"):
+                assert np.array_equal(getattr(s_o, f), getattr(s_r, f)), (f, seed)
+        # the returned image IS the canvas row (no copy was made)
+        assert samples_out[0].image.base is canvas_b
+        stacked_fast = ds.stack_samples(samples_out, image_batch=canvas_b)
+        stacked_ref = ds.stack_samples(samples_ref)
+        for a, b in zip(stacked_fast, stacked_ref):
+            assert np.array_equal(a, b)
+
+
+def test_load_sample_image_out_pil_fallback(tree):
+    """With the native decoder force-disabled the PIL path must honor
+    image_out identically (incl. restoring the zero pad region)."""
+
+    cfg = cars_pyramid_config()
+    cfg = dataclasses.replace(
+        cfg, dataset=dataclasses.replace(cfg.dataset, root=tree, split="val")
+    )
+    ds = KittiDataset(cfg.dataset, cfg.model, AreaExtents())
+    canvas_b = ds.alloc_image_batch(1)
+    canvas_b[0, -1, -1] = 255  # dirt in the pad region must be re-zeroed
+    nl._lib, nl._load_failed = None, True
+    try:
+        s_out = ds.load_sample("000001", augment_seed=None, image_out=canvas_b[0])
+        s_ref = ds.load_sample("000001", augment_seed=None)
+    finally:
+        nl._load_failed = False
+    assert np.array_equal(s_out.image, s_ref.image)
+    assert s_out.image.base is canvas_b
