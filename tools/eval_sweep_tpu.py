@@ -105,7 +105,37 @@ def main():
     jax.block_until_ready(jax.tree.leaves(params)[0])
     print(f"[sweep] params init in {time.time() - t0:.0f}s")
 
+    def _cpu_totals():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        user, nice, system, idle, iowait, irq, softirq, steal = (
+            int(x) for x in parts[:8]
+        )
+        import resource
+
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        return {
+            "proc_cpu": ru.ru_utime + ru.ru_stime,
+            "sys_busy": (user + nice + system + irq + softirq) / 100.0,
+            "sys_idle": (idle + iowait) / 100.0,
+            "sys_steal": steal / 100.0,
+        }
+
+    c0 = _cpu_totals()
+    t_wall = time.time()
     result = ev.run_checkpoint_once(step=0, params=params)
+    t_wall = time.time() - t_wall
+    c1 = _cpu_totals()
+    # who held the single host core during the sweep: this PROCESS's real
+    # CPU, other processes (sys_busy - proc), hypervisor steal, or idle —
+    # in-context phase timings are uninterpretable without this split
+    print(
+        f"[sweep] core accounting over {t_wall:.1f}s wall: this process "
+        f"{c1['proc_cpu'] - c0['proc_cpu']:.1f}s cpu, system busy "
+        f"{c1['sys_busy'] - c0['sys_busy']:.1f}s, steal "
+        f"{c1['sys_steal'] - c0['sys_steal']:.1f}s, idle+iowait "
+        f"{c1['sys_idle'] - c0['sys_idle']:.1f}s"
+    )
     print(
         f"[sweep] END-TO-END: {result['num_frames']} frames in "
         f"{result['seconds']:.1f}s = {result['frames_per_sec']:.1f} fps "
