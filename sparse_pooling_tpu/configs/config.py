@@ -263,6 +263,18 @@ class AvodStage2Config:
     """Second-stage detection head (reference: ``models/avod_model.py``)."""
 
     roi_size: int = 7  # crop_and_resize 7x7
+    # >1: stage-2 ROIs crop ONE patch-einsum window per proposal from an
+    # avg-pooled (stride, in full-res pixels) feature map instead of the
+    # exact flattened gather's roi_size^2 sample points — the same
+    # descriptor-latency lever as RpnConfig.bev_roi_stride, applied to the
+    # B*P*2-view stage-2 crop. Sampling is exact bilinear on the pooled
+    # lattice while a proposal's span fits in roi_patch-2 pooled cells
+    # (cars: diag ~5.5 m = 13.75 cells at stride 4 / 0.1 m voxels, so
+    # patch 16 keeps every car exact); larger spans clamp to a centered
+    # context crop. 1 = reference-exact full-res crops (default).
+    bev_roi_stride: int = 1
+    img_roi_stride: int = 1
+    roi_patch: int = 16
     fc_layers: Tuple[int, ...] = (2048, 2048, 2048)
     keep_dropout_prob: float = 0.5
     fusion_method: str = "mean"  # 'mean' | 'concat' (the combiner)

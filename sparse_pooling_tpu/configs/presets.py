@@ -53,6 +53,14 @@ def cars_pyramid_config() -> PipelineConfig:
             # 0.909/0.909/0.909 (2D/BEV/3D) vs Q=1 0.909/0.909/0.900 —
             # no degradation, so Q=4 stays the default.
             rpn=RpnConfig(roi_quad=4),
+            # Stage-2 patch-einsum ROIs (avod.bev/img_roi_stride) measured
+            # roi_s2 1.02+1.00 -> 0.65+0.60 ms/frame (tools/
+            # profile_stages.py) BUT cost held-out AP at the production
+            # lattice with BOTH views strided (cars_check: moderate
+            # BEV/3D 0.909 -> 0.791), so the default stays the
+            # reference-exact full-res crop; per-view A/B results live in
+            # BASELINE.md.
+            avod=AvodStage2Config(bev_roi_stride=1, img_roi_stride=1),
         ),
     )
 

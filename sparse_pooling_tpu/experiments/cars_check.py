@@ -33,6 +33,14 @@ def main(argv=None):
     p.add_argument("--workdir", default=None)
     p.add_argument("--device", default=None, help="cpu or tpu (default: auto)")
     p.add_argument("--roi_quad", type=int, default=4)
+    p.add_argument(
+        "--s2_bev_stride", type=int, default=None,
+        help="override avod.bev_roi_stride (stage-2 patch ROI A/B)",
+    )
+    p.add_argument(
+        "--s2_img_stride", type=int, default=None,
+        help="override avod.img_roi_stride",
+    )
     p.add_argument("--max_anchors", type=int, default=None)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=8e-4)
@@ -75,9 +83,18 @@ def main(argv=None):
                 model.anchors, max_anchors=args.max_anchors
             ),
         )
+    s2_tag = ""
+    if args.s2_bev_stride is not None or args.s2_img_stride is not None:
+        avod = model.avod
+        if args.s2_bev_stride is not None:
+            avod = dataclasses.replace(avod, bev_roi_stride=args.s2_bev_stride)
+        if args.s2_img_stride is not None:
+            avod = dataclasses.replace(avod, img_roi_stride=args.s2_img_stride)
+        model = dataclasses.replace(model, avod=avod)
+        s2_tag = f"_s2b{model.avod.bev_roi_stride}i{model.avod.img_roi_stride}"
     cfg = dataclasses.replace(
         base,
-        checkpoint_name=f"cars_check_q{args.roi_quad}"
+        checkpoint_name=f"cars_check_q{args.roi_quad}" + s2_tag
         + (f"_a{args.max_anchors}" if args.max_anchors else ""),
         experiments_dir=f"{workdir}/exp",
         model=model,

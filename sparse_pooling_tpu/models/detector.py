@@ -40,6 +40,7 @@ from sparse_pooling_tpu.ops import encoders, projection
 from sparse_pooling_tpu.ops.crop_resize import (
     crop_and_resize_batch,
     crop_and_resize_group_einsum_px,
+    crop_and_resize_patch_einsum_px,
     crop_and_resize_px_batch,
 )
 from sparse_pooling_tpu.ops.nms import nms_batch, top_k_nms_batch
@@ -386,11 +387,29 @@ class SparsePoolingDetector(nn.Module):
             [img_hw[0] - 1.0, img_hw[1] - 1.0, img_hw[0] - 1.0,
              img_hw[1] - 1.0], jnp.float32,
         )
-        bev_rois2 = crop_and_resize_px_batch(
-            bev_feat, to_feat(prop_bev * bev_px_scale), (s2, s2)
+
+        def _s2_rois(feat, boxes_px_full, stride):
+            """Stage-2 crop: exact flattened gather at stride 1 (reference
+            semantics), else ONE patch-einsum window per proposal from the
+            avg-pooled map (descriptors / s2^2 on the descriptor-bound
+            gather; exact while spans fit roi_patch-2 pooled cells)."""
+
+            if stride <= 1:
+                return crop_and_resize_px_batch(
+                    feat, to_feat(boxes_px_full), (s2, s2)
+                )
+            k = stride // ds
+            src = nn.avg_pool(feat, (k, k), strides=(k, k)) if k > 1 else feat
+            boxes_pooled = (boxes_px_full - (stride - 1) / 2) / stride
+            return crop_and_resize_patch_einsum_px(
+                src, boxes_pooled, (s2, s2), patch=c.avod.roi_patch
+            )
+
+        bev_rois2 = _s2_rois(
+            bev_feat, prop_bev * bev_px_scale, c.avod.bev_roi_stride
         )
-        img_rois2 = crop_and_resize_px_batch(
-            img_feat, to_feat(prop_img * img_px_scale2), (s2, s2)
+        img_rois2 = _s2_rois(
+            img_feat, prop_img * img_px_scale2, c.avod.img_roi_stride
         )
         cls_logits, box_offsets, orientation = self.stage2_head(
             [bev_rois2.astype(jnp.float32), img_rois2.astype(jnp.float32)],

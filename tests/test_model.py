@@ -606,3 +606,51 @@ def test_roi_quad_model_parity(setup):
         v = np.asarray(outs[q]["proposal_valid"][0])
         outs[q] = {tuple(np.round(r, 2)) for r in np.asarray(outs[q]["proposals"][0])[v]}
     assert outs[1] == outs[2]
+
+
+def test_stage2_patch_roi_forward_close_and_grads(setup):
+    """avod.bev/img_roi_stride > 1 (stage-2 patch-einsum crops) must run
+    end-to-end with detections close to the exact-crop path on an easy
+    scene, and training gradients must flow through the custom VJP."""
+
+    import dataclasses
+
+    cfg, ext, model, anchors_static, raw, params = setup
+    cfg_s = dataclasses.replace(
+        cfg, avod=dataclasses.replace(
+            cfg.avod, bev_roi_stride=2, img_roi_stride=2, roi_patch=16
+        )
+    )
+    model2 = pl.make_model(cfg_s, ext)
+    out_exact = pl.forward_single(
+        model, params, raw, anchors_static, cfg, ext, train=False
+    )
+    out_s = pl.forward_single(
+        model2, params, raw, anchors_static, cfg_s, ext, train=False
+    )
+    assert out_s["cls_logits"].shape == out_exact["cls_logits"].shape
+    assert bool(jnp.all(jnp.isfinite(out_s["box_offsets"])))
+    # stage-2 class logits over the shared proposals correlate strongly
+    a = np.asarray(out_exact["cls_logits"]).reshape(-1)
+    b = np.asarray(out_s["cls_logits"]).reshape(-1)
+    if a.std() > 1e-6 and b.std() > 1e-6:
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.8, corr
+    det = decode_detections_single(out_s, raw.ground_plane, cfg_s, ext)
+    finite = np.asarray(jnp.isfinite(det["boxes_3d"]))[np.asarray(det["valid"])]
+    assert finite.all()
+
+    key = jax.random.PRNGKey(3)
+
+    def loss_fn(p):
+        out = pl.forward_single(
+            model2, p, raw, anchors_static, cfg_s, ext, train=True, rng=key
+        )
+        return loss_mod.detector_loss(
+            out, raw.gt_boxes_3d, raw.gt_valid, raw.gt_classes,
+            raw.ground_plane, key, cfg_s, ext,
+        )["total"]
+
+    grads = jax.grad(loss_fn)(params)
+    total = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(total) and total > 0

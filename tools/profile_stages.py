@@ -318,6 +318,27 @@ def build_stages(b: int, train: bool):
     stages["roi_s2_img"] = (
         lambda f, bx: cr.crop_and_resize_px_batch(f, bx, (s2, s2)), (img_feat, s2_img_px)
     )
+
+    # stage-2 patch-einsum candidates (avod.bev/img_roi_stride knob): one
+    # window per proposal from an avg-pooled map vs 49 exact sample points
+    def _s2_patch(stride, patch):
+        import flax.linen as fnn
+
+        def fn(f, bx):
+            k = stride // ds
+            src = fnn.avg_pool(f, (k, k), strides=(k, k)) if k > 1 else f
+            bp = (bx * ds - (stride - 1) / 2) / stride
+            return cr.crop_and_resize_patch_einsum_px(src, bp, (s2, s2), patch=patch)
+
+        return fn
+
+    for stride, patch in ((4, 16), (8, 12)):
+        stages[f"roi_s2_bev_patch_s{stride}p{patch}"] = (
+            _s2_patch(stride, patch), (bev_feat, s2_bev_px)
+        )
+        stages[f"roi_s2_img_patch_s{stride}p{patch}"] = (
+            _s2_patch(stride, patch), (img_feat, s2_img_px)
+        )
     stages["stage2_head"] = (lambda p, r: stage2.apply(p, r, False), (p_s2, rois_s2))
 
     fin_boxes = rand_boxes(nms_size, 1.0, 1.0, 0.05)
