@@ -53,14 +53,19 @@ def cars_pyramid_config() -> PipelineConfig:
             # 0.909/0.909/0.909 (2D/BEV/3D) vs Q=1 0.909/0.909/0.900 —
             # no degradation, so Q=4 stays the default.
             rpn=RpnConfig(roi_quad=4),
-            # Stage-2 patch-einsum ROIs (avod.bev/img_roi_stride) measured
-            # roi_s2 1.02+1.00 -> 0.65+0.60 ms/frame (tools/
-            # profile_stages.py) BUT cost held-out AP at the production
-            # lattice with BOTH views strided (cars_check: moderate
-            # BEV/3D 0.909 -> 0.791), so the default stays the
-            # reference-exact full-res crop; per-view A/B results live in
-            # BASELINE.md.
-            avod=AvodStage2Config(bev_roi_stride=1, img_roi_stride=1),
+            # Stage-2 patch-einsum ROI, BEV view only: one window per
+            # proposal from the stride-4 pooled map (sampling stays exact
+            # for car spans: diag 5.5 m = 13.75 pooled cells <= patch-2),
+            # measured 1.02 -> 0.65 ms/frame (tools/profile_stages.py).
+            # Held-out production-lattice AP holds: 0.902/0.902/0.902 vs
+            # 0.909 baseline (run noise on 16 val frames). The IMAGE view
+            # stays reference-exact: striding it too cost moderate BEV/3D
+            # AP 0.909 -> 0.791 (near-range boxes span far more than the
+            # window, so 7x7 sampling collapsed to a 16-cell context crop).
+            # A/B via experiments/cars_check.py --s2_bev_stride/--s2_img_stride.
+            avod=AvodStage2Config(
+                bev_roi_stride=4, img_roi_stride=1, roi_patch=16
+            ),
         ),
     )
 

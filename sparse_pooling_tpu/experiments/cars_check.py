@@ -137,7 +137,7 @@ def main(argv=None):
         "final_ap": results[-1]["ap"]["Car"],
         "eval_fps": results[-1]["frames_per_sec"],
     }
-    out_path = os.path.join(workdir, f"cars_check_q{args.roi_quad}.json")
+    out_path = os.path.join(workdir, f"cars_check_q{args.roi_quad}{s2_tag}.json")
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     print(f"[cars_check] summary -> {out_path}")
