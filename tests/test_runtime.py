@@ -348,3 +348,38 @@ def test_gen_mini_batches(cfg, tmp_path):
     assert data["Car"].shape[0] == data["anchor_indices"].shape[0]
     # some anchor overlaps a GT car
     assert data["Car"][:, 0].max() > 0.3
+
+
+def test_inference_cli_and_demo_render(cfg, tmp_path):
+    """SURVEY §4.3 stack end-to-end: train 1 step -> run_inference CLI
+    writes KITTI txt (+ .npy) -> show_predictions renders overlay PNGs."""
+
+    from sparse_pooling_tpu.demos import show_predictions
+    from sparse_pooling_tpu.experiments import run_inference
+    from sparse_pooling_tpu.runtime.trainer import Trainer
+
+    Trainer(cfg).train(max_steps=1)
+    out_dir = str(tmp_path / "inference")
+    run_inference.main([
+        "--preset", "unittest",
+        "--dataset_root", cfg.dataset.root,
+        "--experiments_dir", cfg.experiments_dir,
+        "--data_split", "val",
+        "--out_dir", out_dir,
+        "--save_npy",
+    ])
+    txts = glob.glob(os.path.join(out_dir, "**", "*.txt"), recursive=True)
+    assert txts, "inference CLI wrote no KITTI txt predictions"
+    npys = glob.glob(os.path.join(out_dir, "**", "*.npy"), recursive=True)
+    assert npys, "--save_npy wrote no arrays"
+
+    vis_dir = str(tmp_path / "vis")
+    show_predictions.main([
+        "--dataset_root", cfg.dataset.root,
+        "--pred_dir", os.path.dirname(txts[0]),
+        "--out_dir", vis_dir,
+        "--score_threshold", "0.0",
+        "--draw_gt",
+    ])
+    pngs = glob.glob(os.path.join(vis_dir, "*.png"))
+    assert pngs, "demo renderer wrote no images"
