@@ -36,6 +36,13 @@ def main():
         help="model preset to bench (driver metric: cars; 'people' records "
         "the multi-class preset's rate)",
     )
+    ap.add_argument(
+        "--batch", type=int, default=32,
+        help="frames per step. Throughput/chip rises with batch until HBM "
+        "pressure: 92.7 fps at 8, 103.9 at 16, 111.0 at 32, 85.6 at 64 "
+        "(TPU v5e, 2026-08-18) — 32 is the measured knee and the default; "
+        "the eval sweep keeps batch 8 (host-latency-bound there)",
+    )
     args = ap.parse_args()
 
     import sparse_pooling_tpu as _spt
@@ -51,7 +58,7 @@ def main():
     from sparse_pooling_tpu.models import pipeline as pl
     from sparse_pooling_tpu.models.detector import decode_detections
 
-    batch_size = 8
+    batch_size = args.batch
     n_iters = 10
     cfg = preset(args.preset).model
     ext = AreaExtents()
