@@ -301,6 +301,57 @@ def build_stages(b: int, train: bool):
     )
     stages["rpn_head"] = (lambda p, r: rpn_head.apply(p, r), (p_rpn, rois_rpn))
 
+    # roi_rpn sub-parts: where do the ~2.5 ms/frame/view actually go?
+    def _roi_sub(part):
+        import flax.linen as nn
+
+        def fn(feat, boxes):
+            k = st // ds
+            src = nn.avg_pool(feat, (k, k), strides=(k, k)) if k > 1 else feat
+            if part == "pool":
+                return src
+            if rc < out_ch:
+                src = jax.lax.conv_general_dilated(
+                    src, proj_w, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            if part == "pool+proj":
+                return src
+            bsz, a = boxes.shape[:2]
+            gw = quad * quad * n_var
+            rois = cr.crop_and_resize_group_einsum_px(
+                src, boxes.reshape(bsz, a // gw, gw, 4), (s, s),
+                patch=cfg.rpn.roi_patch + (quad_extra(st) if quad > 1 else 0),
+            )
+            return rois.reshape(bsz, a, s, s, rois.shape[-1])
+
+        return fn
+
+    for part in ("pool", "pool+proj"):
+        stages[f"roi_rpn_bev_{part}"] = (_roi_sub(part), (bev_feat, bev_boxes_px))
+
+    # candidate: fold avg_pool + 1x1 projection into ONE strided conv on
+    # the MXU (kernel [k,k,32,rc] = proj/k^2) — reduce_window measured only
+    # ~87 GB/s effective on the 288 MB full-res read
+    def _roi_fusedconv(feat, boxes):
+        k = st // ds
+        kern = jnp.broadcast_to(
+            proj_w / (k * k), (k, k) + proj_w.shape[2:]
+        ).astype(feat.dtype)
+        src = jax.lax.conv_general_dilated(
+            feat, kern, (k, k), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        bsz, a = boxes.shape[:2]
+        gw = quad * quad * n_var
+        rois = cr.crop_and_resize_group_einsum_px(
+            src, boxes.reshape(bsz, a // gw, gw, 4), (s, s),
+            patch=cfg.rpn.roi_patch + (quad_extra(st) if quad > 1 else 0),
+        )
+        return rois.reshape(bsz, a, s, s, rois.shape[-1])
+
+    stages["roi_rpn_bev_fusedconv"] = (_roi_fusedconv, (bev_feat, bev_boxes_px))
+
     nms_boxes = rand_boxes(a_cap, 1.0, 1.0, 0.05)
     nms_scores = jnp.array(rng.rand(b, a_cap), jnp.float32)
     stages["rpn_nms"] = (
