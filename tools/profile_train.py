@@ -67,6 +67,13 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--stages", default="")
     ap.add_argument("--skip-full", action="store_true")
+    ap.add_argument(
+        "--batches",
+        default="",
+        help="comma list, e.g. 4,8,16: time ONLY the full train step at each "
+        "batch size and print a ms/step + frames/sec knee table (the training "
+        "analog of bench.py --batch-sweep), then exit",
+    )
     args = ap.parse_args()
 
     import jax
@@ -105,6 +112,22 @@ def main():
             model, params, batch, anchors_static, cfg, ext, True, r_fwd
         )
         return pl.loss_batch(out, batch, r_loss, cfg, ext)["total"]
+
+    if args.batches:
+        # Training analog of the inference batch-size knee sweep: params and
+        # optimizer state are batch-independent, only the stacked batch (and
+        # the per-shape jit specialization) changes per point.
+        print(f"{'batch':>5s} {'ms/step':>9s} {'frames/s':>9s}")
+        for bs in [int(x) for x in args.batches.split(",") if x]:
+            fr = [_synthetic_raw(cfg, ext, n_points=16384, seed=i) for i in range(bs)]
+            bt = jax.tree.map(lambda *xs: jnp.stack(xs), *fr)
+            dt = timed(
+                lambda p, o, b_: train_step(p, o, b_, key)[:2],
+                (params, opt_state, bt),
+                args.iters,
+            )
+            print(f"{bs:5d} {dt * 1e3:9.2f} {bs / dt:9.2f}")
+        return
 
     rows = []
     if not args.skip_full:
