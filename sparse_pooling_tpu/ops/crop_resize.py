@@ -513,6 +513,193 @@ def _group_einsum_impl(images, boxes_grouped, crop_hw, patch):
     return out.transpose(0, 1, 2, 4, 3, 5)  # -> [B,P,V,ch,cw,C]
 
 
+def _group_flat_impl(images, boxes_grouped, crop_hw, patch):
+    """Layout-friendly form of ``_group_einsum_impl`` (identical math).
+
+    MEASURED AND REJECTED as the production default (TPU v5e, 2026-08-18,
+    tools/profile_group_crop.py + full-graph bench/train sweeps):
+
+      * isolated op (cars shapes, bf16): fwd 7.46 vs 8.40 ms @ batch 8
+        (flat wins), 28.94 vs 25.82 @ 32 (6D wins); fwd+bwd within 4%
+        everywhere and BOTH forms share the same superlinear bwd jump past
+        batch 8 (18.4 -> 67.5 ms at 16), so the padding was never the bwd
+        scaling problem;
+      * full training step: 419 ms @ batch 8 / 954 @ 16 vs the 6D form's
+        416 / 951 — unchanged; batch 32 still OOMs, but the memory dump's
+        top entries become plain conv activations (275/240/234 MB conv3_2
+        temps), i.e. this form DID eliminate the 3.0 GB padded copies and
+        the remaining OOM is legitimate activation memory;
+      * full inference bench: 102.5 / 89.0 / 79.6 fps at batch 32/8/64 vs
+        the 6D form's 111.0 / 92.7 / 85.6 — an ~8% regression (the extra
+        repeat/concat traffic costs more than the padding it saves once
+        XLA schedules the full graph).
+
+    Kept as a parity-tested option: it is the memory-lean form if a future
+    config ever needs the grouped crop inside a tighter HBM budget.
+
+    The original's middle tensor ``t`` is 6D [B,P,V,ch,px,c] whose trailing
+    (px, c) dims tile-pad 10.7-21.3x on TPU ((8,128)/(16,128) tiles vs
+    px=12, c=8 at cars shapes) — 3.0 GB for 288 MB of payload at batch 32.
+    This form keeps every materialized intermediate 4D with >=96-lane minor
+    dims:
+
+      * the window gather reads a CHANNEL-FLATTENED [B, H, W*C] source, so
+        one window is a (py, px*C) slab — the (px, c) pair never exists as
+        trailing dims (source relayout is one cheap copy of the small
+        pooled map);
+      * the y-contraction produces t as [B, P, V*ch, px*C] directly;
+      * the x-contraction multiplies t by c-repeated tent weights and
+        contracts the (px c) lanes with a STATIC ones(px) (x) I_c matrix on
+        the MXU, one cw column at a time (cw static, = 3);
+      * the [B,P,V*ch, cw*C] result reshapes to the public 6D output in
+        exactly (v, ch, cw, c) order — consumers flatten it right back, so
+        XLA keeps the (V*ch, cw*C)-tiled buffer.
+    """
+
+    b, h, w, c = images.shape
+    _, p, v, _ = boxes_grouped.shape
+    ch, cw = crop_hw
+    ys, xs, y_start, x_start = _group_starts(boxes_grouped, h, w, crop_hw, patch)
+    py, px = min(patch, h), min(patch, w)
+
+    bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, p))
+    starts = jnp.stack([bidx, y_start, x_start * c], axis=-1).reshape(-1, 3)
+    patches = jax.lax.gather(
+        images.reshape(b, h, w * c),
+        starts,
+        dimension_numbers=jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2),
+        ),
+        slice_sizes=(1, py, px * c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(b, p, py, px * c)
+
+    rel_y = jnp.clip(ys - y_start[..., None, None], 0.0, py - 1.0)  # [B,P,V,ch]
+    rel_x = jnp.clip(xs - x_start[..., None, None], 0.0, px - 1.0)
+    grid = jnp.arange(py, dtype=rel_y.dtype)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(rel_y[..., None] - grid))
+    grid_x = jnp.arange(px, dtype=rel_x.dtype)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rel_x[..., None] - grid_x))
+    wy = wy.astype(images.dtype).reshape(b, p, v * ch, py)
+    wx = wx.astype(images.dtype)  # [B,P,V,cw,px]
+
+    t = jax.lax.dot_general(
+        wy, patches,
+        (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=images.dtype,
+    )  # [B, P, V*ch, px*C]
+
+    # ones(px) (x) I_c: contracts the px blocks of the (px c) lanes, keeps c
+    s_mat = jnp.kron(
+        jnp.ones((px, 1), images.dtype), jnp.eye(c, dtype=images.dtype)
+    )  # [px*C, C]
+    outs = []
+    for i in range(cw):
+        wxe = jnp.repeat(wx[:, :, :, i, :], c, axis=-1)  # [B,P,V,px*C]
+        wxe = jnp.repeat(wxe, ch, axis=2)  # [B,P,V*ch,px*C] (v-major rows)
+        outs.append(
+            jax.lax.dot_general(
+                t * wxe, s_mat,
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=images.dtype,
+            )
+        )  # [B,P,V*ch,C]
+    out = jnp.concatenate(outs, axis=-1)  # [B,P,V*ch,cw*C]
+    # rows are (v, ch) v-major, lanes are (cw, c) — flattening rows then
+    # lanes is exactly (v, ch, cw, c) order
+    return out.reshape(b, p, v, ch, cw, c)
+
+
+def _group_flat_feature_grad(images, boxes_grouped, g, crop_hw, patch):
+    """Exact transpose of ``_group_flat_impl`` in the same flat layouts."""
+
+    b, h, w, c = images.shape
+    _, p, v, _ = boxes_grouped.shape
+    ch, cw = crop_hw
+    ys, xs, y_start, x_start = _group_starts(boxes_grouped, h, w, crop_hw, patch)
+    py, px = min(patch, h), min(patch, w)
+    rel_y = jnp.clip(ys - y_start[..., None, None], 0.0, py - 1.0)
+    rel_x = jnp.clip(xs - x_start[..., None, None], 0.0, px - 1.0)
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(rel_y[..., None] - jnp.arange(py, dtype=rel_y.dtype))
+    ).astype(jnp.float32).reshape(b, p, v * ch, py)
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(rel_x[..., None] - jnp.arange(px, dtype=rel_x.dtype))
+    ).astype(jnp.float32)
+
+    gf = g.astype(jnp.float32).reshape(b, p, v * ch, cw * c)
+    s_t = jnp.kron(jnp.ones((1, px), jnp.float32), jnp.eye(c, dtype=jnp.float32))
+    g_t = None
+    for i in range(cw):
+        gp = jax.lax.dot_general(
+            gf[..., i * c : (i + 1) * c], s_t,
+            (((3,), (0,)), ((), ())),
+        )  # [B,P,V*ch,px*C]
+        wxe = jnp.repeat(wx[:, :, :, i, :], c, axis=-1)
+        wxe = jnp.repeat(wxe, ch, axis=2)
+        g_t = gp * wxe if g_t is None else g_t + gp * wxe
+
+    g_patches = jax.lax.dot_general(
+        wy, g_t,
+        (((2,), (2,)), ((0, 1), (0, 1))),
+    )  # [B,P,py,px*C]
+
+    bi = jnp.arange(b, dtype=jnp.int32)[:, None]
+    oy = jnp.arange(py, dtype=jnp.int32)[None, None, :, None]
+    ox = jnp.arange(px, dtype=jnp.int32)[None, None, None, :]
+    fid = (
+        (bi[..., None, None] * h + y_start[..., None, None] + oy) * w
+        + x_start[..., None, None] + ox
+    )  # [B,P,py,px]
+    acc = _acc_dtype(images)
+    return jax.ops.segment_sum(
+        g_patches.reshape(-1, c).astype(acc),
+        fid.reshape(-1),
+        num_segments=b * h * w,
+    ).reshape(b, h, w, c).astype(images.dtype)
+
+
+@functools.cache
+def _group_flat_with_vjp(crop_hw, patch):
+    """custom_vjp for the flat grouped crop (same cotangents as
+    ``_group_with_vjp``: window-transpose feature grad in flat layouts, box
+    grad through the flattened effective coords)."""
+
+    @jax.custom_vjp
+    def crop(images, boxes_grouped):
+        return _group_flat_impl(images, boxes_grouped, crop_hw, patch)
+
+    def fwd(images, boxes_grouped):
+        return _group_flat_impl(images, boxes_grouped, crop_hw, patch), (
+            images,
+            boxes_grouped,
+        )
+
+    def bwd(res, g):
+        images, boxes_grouped = res
+        b, p, v, _ = boxes_grouped.shape
+        _, h, w, _ = images.shape
+        ch, cw = crop_hw
+        g_images = _group_flat_feature_grad(
+            images, boxes_grouped, g, crop_hw, patch
+        )
+        coords_fn = lambda bx: _group_coords(
+            bx.reshape(b, p, v, 4), h, w, crop_hw, patch
+        )
+        g_boxes = _box_grad(
+            images,
+            boxes_grouped.reshape(b, p * v, 4),
+            g.reshape(b, p * v, ch, cw, -1).astype(jnp.float32),
+            coords_fn,
+        )
+        return g_images, g_boxes.reshape(b, p, v, 4)
+
+    crop.defvjp(fwd, bwd)
+    return crop
+
+
 def _box_grad(images, boxes, g, coords_fn):
     """Box gradient alone (corner geometry + ``_box_grad_from_corners``)."""
 
@@ -644,6 +831,21 @@ def crop_and_resize_group_einsum_px(
     """
 
     return _group_with_vjp((int(crop_hw[0]), int(crop_hw[1])), int(patch))(
+        images, boxes_grouped
+    )
+
+
+def crop_and_resize_group_flat_px(
+    images: jnp.ndarray, boxes_grouped: jnp.ndarray, crop_hw, patch: int = 8
+) -> jnp.ndarray:
+    """``crop_and_resize_group_einsum_px`` with layout-friendly internals.
+
+    Identical math and signature; see ``_group_flat_impl`` for why the
+    intermediates stay 4D (the 6D form's (px, c) trailing dims tile-pad
+    10.7-21.3x and OOM training at batch >= 16).
+    """
+
+    return _group_flat_with_vjp((int(crop_hw[0]), int(crop_hw[1])), int(patch))(
         images, boxes_grouped
     )
 

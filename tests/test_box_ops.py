@@ -338,10 +338,20 @@ def test_patch_einsum_oversized_box_centered():
     assert got.max() <= float(img[0, 5, 7, 0]) + 1e-5
 
 
-def test_group_einsum_matches_per_anchor_crops(rng):
+@pytest.mark.parametrize(
+    "group_crop",
+    [
+        crop_resize.crop_and_resize_group_einsum_px,
+        crop_resize.crop_and_resize_group_flat_px,
+    ],
+    ids=["einsum6d", "flat"],
+)
+def test_group_einsum_matches_per_anchor_crops(rng, group_crop):
     """The group-shared patch crop equals the per-anchor gather crop when
     the group's variants share centers and spans fit patch-2 (the BEV RPN
-    case: rotation/class variants of one grid position)."""
+    case: rotation/class variants of one grid position). Both layouts of
+    the grouped crop (6D-einsum and flat, see crop_resize.py) are the same
+    math and must both match."""
 
     img = rng.rand(2, 40, 48, 8).astype(np.float32)
     p, v = 12, 2
@@ -361,14 +371,20 @@ def test_group_einsum_matches_per_anchor_crops(rng):
         )
     ).reshape(2, p, v, 3, 3, 8)
     got = np.asarray(
-        crop_resize.crop_and_resize_group_einsum_px(
-            jnp.array(img), jnp.array(b), (3, 3), patch=8
-        )
+        group_crop(jnp.array(img), jnp.array(b), (3, 3), patch=8)
     )
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
-def test_group_einsum_grads_match_gather_crop(rng):
+@pytest.mark.parametrize(
+    "group_crop",
+    [
+        crop_resize.crop_and_resize_group_einsum_px,
+        crop_resize.crop_and_resize_group_flat_px,
+    ],
+    ids=["einsum6d", "flat"],
+)
+def test_group_einsum_grads_match_gather_crop(rng, group_crop):
     """Group-crop custom VJP == gather-crop grads for fitting shared-center
     groups (same function, different code path)."""
 
@@ -378,7 +394,7 @@ def test_group_einsum_grads_match_gather_crop(rng):
     )  # [1, 1, 2, 4], both boxes centered ~(6.05, 6.9)
 
     def loss_group(i, bx):
-        out = crop_resize.crop_and_resize_group_einsum_px(i, bx, (3, 3), patch=12)
+        out = group_crop(i, bx, (3, 3), patch=12)
         return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
 
     def loss_gather(i, bx):
