@@ -34,7 +34,8 @@ def main():
     ap.add_argument(
         "--preset", default="cars",
         help="model preset to bench (driver metric: cars; 'people' records "
-        "the multi-class preset's rate)",
+        "the multi-class preset's rate, 'rcnn_cars' the MV3D-style second "
+        "consumer's)",
     )
     ap.add_argument(
         "--batch", type=int, default=32,
@@ -56,7 +57,6 @@ def main():
     from sparse_pooling_tpu.configs import AreaExtents
     from sparse_pooling_tpu.configs.presets import preset
     from sparse_pooling_tpu.models import pipeline as pl
-    from sparse_pooling_tpu.models.detector import decode_detections
 
     batch_size = args.batch
     n_iters = 10
@@ -96,7 +96,7 @@ def main():
             out = pl.forward_batch_fn(
                 model, params, b, anchors_static, cfg, ext, False
             )
-            det = decode_detections(out, b.ground_plane, cfg, ext)
+            det = pl.decode_batch(out, b.ground_plane, cfg, ext)
             return dep * 0.0 + jnp.sum(det["scores"][..., :1]) * 1e-20
         return jax.lax.fori_loop(0, n_iters, body, dep0)
 

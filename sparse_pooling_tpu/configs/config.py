@@ -192,6 +192,11 @@ class BackboneConfig:
     # raw 6-channel first conv wastes the 128-wide MXU and stage-1 burns
     # full-res FLOPs). Requires decode_stride >= 2. See models/backbone.py.
     space_to_depth: bool = True
+    # Rematerialize (jax.checkpoint) the conv encoder/decoder in the
+    # backward pass: intra-stage conv activations are recomputed instead of
+    # stored, trading FLOPs for HBM. Forward-only graphs are unaffected.
+    # See models/backbone.py for the measured batch-scaling effect.
+    remat: bool = False
     l2_weight_decay: float = 0.0005
     compute_dtype: str = "bfloat16"  # TPU MXU-native; params stay fp32
 

@@ -28,6 +28,12 @@ import tempfile
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=2000)
+    p.add_argument(
+        "--preset", default="cars", choices=("cars", "rcnn_cars"),
+        help="detector family: 'cars' = flagship AVOD-style SHPL detector, "
+        "'rcnn_cars' = MV3D-style FusionRcnn second consumer at the same "
+        "production geometry",
+    )
     p.add_argument("--train_frames", type=int, default=48)
     p.add_argument("--val_frames", type=int, default=16)
     p.add_argument("--workdir", default=None)
@@ -56,8 +62,8 @@ def main(argv=None):
 
     _spt.enable_compile_cache()
 
-    from sparse_pooling_tpu.configs import cars_pyramid_config
     from sparse_pooling_tpu.configs.config import EvalConfig, OptimizerConfig
+    from sparse_pooling_tpu.configs.presets import preset as preset_fn
     from sparse_pooling_tpu.data import synthetic
     from sparse_pooling_tpu.runtime.evaluator import Evaluator
     from sparse_pooling_tpu.runtime.trainer import Trainer
@@ -71,7 +77,7 @@ def main(argv=None):
             val_frames=tuple(range(args.train_frames, n_total)),
         )
 
-    base = cars_pyramid_config()
+    base = preset_fn(args.preset)
     model = dataclasses.replace(
         base.model,
         rpn=dataclasses.replace(base.model.rpn, roi_quad=args.roi_quad),
@@ -94,7 +100,7 @@ def main(argv=None):
         s2_tag = f"_s2b{model.avod.bev_roi_stride}i{model.avod.img_roi_stride}"
     cfg = dataclasses.replace(
         base,
-        checkpoint_name=f"cars_check_q{args.roi_quad}" + s2_tag
+        checkpoint_name=f"{args.preset}_check_q{args.roi_quad}" + s2_tag
         + (f"_a{args.max_anchors}" if args.max_anchors else ""),
         experiments_dir=f"{workdir}/exp",
         model=model,
@@ -116,7 +122,10 @@ def main(argv=None):
         ),
     )
 
-    print(f"[cars_check] workdir {workdir} roi_quad={args.roi_quad}")
+    print(
+        f"[cars_check] workdir {workdir} preset={args.preset} "
+        f"roi_quad={args.roi_quad}"
+    )
     Trainer(cfg).train()
     eval_cfg = dataclasses.replace(
         cfg, dataset=dataclasses.replace(cfg.dataset, split="val")
@@ -131,13 +140,16 @@ def main(argv=None):
             f"{ap['bev']['moderate']:11.3f} {ap['3d']['moderate']:10.3f}"
         )
     summary = {
+        "preset": args.preset,
         "roi_quad": args.roi_quad,
         "max_anchors": args.max_anchors,
         "steps": args.steps,
         "final_ap": results[-1]["ap"]["Car"],
         "eval_fps": results[-1]["frames_per_sec"],
     }
-    out_path = os.path.join(workdir, f"cars_check_q{args.roi_quad}{s2_tag}.json")
+    out_path = os.path.join(
+        workdir, f"{args.preset}_check_q{args.roi_quad}{s2_tag}.json"
+    )
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     print(f"[cars_check] summary -> {out_path}")

@@ -127,6 +127,9 @@ class VggPyramidExtractor(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     decode_stride: int = 1
     space_to_depth: bool = False
+    # Wrap encoder/decoder in nn.remat: only their inputs/outputs are kept
+    # live for the backward pass; intra-stage conv activations recompute.
+    remat: bool = False
 
     def setup(self):
         if self.space_to_depth and self.decode_stride < 2:
@@ -135,11 +138,13 @@ class VggPyramidExtractor(nn.Module):
                 "the decoder cannot produce a stride-1 map (no stride-1 "
                 "skip exists); use decode_stride >= 2"
             )
-        self.encoder = VggEncoder(
+        enc_cls = nn.remat(VggEncoder) if self.remat else VggEncoder
+        dec_cls = nn.remat(PyramidDecoder) if self.remat else PyramidDecoder
+        self.encoder = enc_cls(
             self.channels, self.blocks, self.dtype,
             space_to_depth=self.space_to_depth,
         )
-        self.decoder = PyramidDecoder(
+        self.decoder = dec_cls(
             self.channels, self.out_channels, self.dtype,
             stop_stride=self.decode_stride,
         )

@@ -171,11 +171,13 @@ class SparsePoolingDetector(nn.Module):
             c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
             decode_stride=c.backbone.decode_stride,
             space_to_depth=c.backbone.space_to_depth,
+            remat=c.backbone.remat,
         )
         self.img_extractor = VggPyramidExtractor(
             c.backbone.channels, c.backbone.blocks, c.backbone.out_channels, dt,
             decode_stride=c.backbone.decode_stride,
             space_to_depth=c.backbone.space_to_depth,
+            remat=c.backbone.remat,
         )
         mid_ch = c.backbone.channels[-1]
         pc = c.sparse_pool.pool_channels

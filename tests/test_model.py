@@ -654,3 +654,30 @@ def test_stage2_patch_roi_forward_close_and_grads(setup):
     grads = jax.grad(loss_fn)(params)
     total = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(total) and total > 0
+
+
+def test_backbone_remat_grads_exact():
+    """backbone.remat=True (nn.remat encoder/decoder) must change memory
+    behavior only: forward outputs and every grad leaf bit-match the
+    non-remat module (jax.checkpoint recomputes the same ops)."""
+
+    from sparse_pooling_tpu.models.backbone import VggPyramidExtractor
+
+    def mk(remat):
+        return VggPyramidExtractor(
+            (8, 16), (2, 2), 8, jnp.float32, decode_stride=1,
+            space_to_depth=False, remat=remat,
+        )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    m0, m1 = mk(False), mk(True)
+    params = m0.init(jax.random.PRNGKey(1), x)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, x) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss(m0))(params)
+    l1, g1 = jax.value_and_grad(loss(m1))(params)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

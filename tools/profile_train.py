@@ -74,7 +74,14 @@ def main():
         "batch size and print a ms/step + frames/sec knee table (the training "
         "analog of bench.py --batch-sweep), then exit",
     )
+    ap.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize the conv encoder/decoder in the backward pass "
+        "(backbone.remat=True): trades recompute FLOPs for activation HBM",
+    )
     args = ap.parse_args()
+
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
@@ -86,6 +93,14 @@ def main():
 
     b = args.batch
     pipe = cars_pyramid_config()
+    if args.remat:
+        pipe = dataclasses.replace(
+            pipe,
+            model=dataclasses.replace(
+                pipe.model,
+                backbone=dataclasses.replace(pipe.model.backbone, remat=True),
+            ),
+        )
     cfg = pipe.model
     ext = AreaExtents()
     key = jax.random.PRNGKey(0)
