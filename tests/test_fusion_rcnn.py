@@ -105,3 +105,38 @@ def test_grads_flow(setup):
         jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads)))
     )
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_rcnn_trainer_evaluator_end_to_end(tmp_path):
+    """The FULL rcnn dispatch path (architecture='rcnn' -> make_model ->
+    Trainer -> orbax -> Evaluator -> KITTI txt -> AP) at unittest scale —
+    the production path cars_check --preset rcnn_cars exercises on TPU."""
+
+    import dataclasses
+
+    from sparse_pooling_tpu.configs import unittest_config
+    from sparse_pooling_tpu.data import synthetic
+    from sparse_pooling_tpu.runtime.evaluator import Evaluator
+    from sparse_pooling_tpu.runtime.trainer import Trainer
+
+    root = tmp_path / "kitti"
+    synthetic.write_kitti_tree(
+        str(root), num_frames=3, n_ground=2048, n_obj=128, val_frames=(2,)
+    )
+    base = unittest_config(dataset_root=str(root))
+    cfg = dataclasses.replace(
+        base,
+        checkpoint_name="rcnn_unittest",
+        experiments_dir=str(tmp_path / "exp"),
+        model=dataclasses.replace(base.model, architecture="rcnn"),
+    )
+    state = Trainer(cfg).train(max_steps=2)
+    assert state.step == 2
+
+    eval_cfg = dataclasses.replace(
+        cfg, dataset=dataclasses.replace(cfg.dataset, split="val")
+    )
+    res = Evaluator(eval_cfg).run_checkpoint_once(2)
+    assert res["frames_per_sec"] > 0
+    ap = res["ap"]["Car"]["3d"]["moderate"]
+    assert 0.0 <= ap <= 1.0
