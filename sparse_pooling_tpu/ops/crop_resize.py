@@ -129,6 +129,48 @@ def _acc_dtype(images):
     return jnp.bfloat16 if images.dtype == jnp.bfloat16 else jnp.float32
 
 
+# Per-chunk accumulator cap for feature-grad scatters. Measured on TPU v5e
+# (tools/probe_segsum_chunk.py, roi_s2 backward shapes — 1.6M entries into a
+# 352x400x32 bf16 map): ONE segment_sum pays 163.9 ms at a 72 MB accumulator
+# and 398.4 ms at 144 MB, but the same scatter split into frame-range chunks
+# runs 8.5-10.9 ms at <= 18 MB per chunk — the cost cliffs on ACCUMULATOR
+# size, not entry count. Entries are batch-major in every crop backward, and
+# each segment id belongs to exactly one frame, so chunking by frame range
+# splits the op without changing any segment's summation set.
+_SCATTER_CHUNK_BYTES = 16 * 1024 * 1024
+
+
+def _frame_chunked_segment_sum(vals, ids, b, hw, acc):
+    """segment_sum of batch-major entries into a [b*hw, C] accumulator,
+    split into frame-range chunks that each stay under the measured
+    accumulator-size cliff (``_SCATTER_CHUNK_BYTES``).
+
+    ``vals`` [M, C] and ``ids`` [M] (global ids: frame*hw + cell) must be
+    batch-major with M divisible by b. Exact same per-segment sums as the
+    single big op; only the accumulator is partitioned.
+    """
+
+    m, c = vals.shape
+    per_frame = hw * c * jnp.dtype(acc).itemsize
+    fpc = max(1, _SCATTER_CHUNK_BYTES // per_frame)
+    if fpc >= b:
+        return jax.ops.segment_sum(
+            vals.astype(acc), ids, num_segments=b * hw
+        )
+    m_per = m // b
+    outs = []
+    for s in range(0, b, fpc):
+        e = min(b, s + fpc)
+        outs.append(
+            jax.ops.segment_sum(
+                vals[s * m_per : e * m_per].astype(acc),
+                ids[s * m_per : e * m_per] - s * hw,
+                num_segments=(e - s) * hw,
+            )
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
 def _bilinear_bwd(images, boxes, g, coords_fn, crop_hw):
     """Shared backward for all bilinear-sampling crops.
 
@@ -167,18 +209,24 @@ def _bilinear_bwd(images, boxes, g, coords_fn, crop_hw):
     idx10 = (base + y1g * w + xg).reshape(-1)
     idx11 = (base + y1g * w + x1g).reshape(-1)
     m = b * n * ch * cw
+    mp = n * ch * cw  # entries per frame per corner
     acc = _acc_dtype(images)
-    flat_ids = jnp.concatenate([idx00, idx01, idx10, idx11])
-    flat_grads = jnp.concatenate(
+    # interleave the four corner blocks per FRAME (not concatenated whole)
+    # so the scatter stays batch-major and can chunk by frame range
+    flat_ids = jnp.stack(
+        [i.reshape(b, mp) for i in (idx00, idx01, idx10, idx11)], axis=1
+    ).reshape(-1)
+    flat_grads = jnp.stack(
         [
-            (g * w00).reshape(m, c),
-            (g * w01).reshape(m, c),
-            (g * w10).reshape(m, c),
-            (g * w11).reshape(m, c),
-        ]
-    ).astype(acc)
-    g_images = jax.ops.segment_sum(
-        flat_grads, flat_ids, num_segments=b * h * w
+            (g * w00).reshape(b, mp, c),
+            (g * w01).reshape(b, mp, c),
+            (g * w10).reshape(b, mp, c),
+            (g * w11).reshape(b, mp, c),
+        ],
+        axis=1,
+    ).reshape(-1, c)
+    g_images = _frame_chunked_segment_sum(
+        flat_grads, flat_ids, b, h * w, acc
     ).reshape(b, h, w, c).astype(images.dtype)
 
     g_boxes = _box_grad_from_corners(
@@ -654,10 +702,8 @@ def _group_flat_feature_grad(images, boxes_grouped, g, crop_hw, patch):
         + x_start[..., None, None] + ox
     )  # [B,P,py,px]
     acc = _acc_dtype(images)
-    return jax.ops.segment_sum(
-        g_patches.reshape(-1, c).astype(acc),
-        fid.reshape(-1),
-        num_segments=b * h * w,
+    return _frame_chunked_segment_sum(
+        g_patches.reshape(-1, c), fid.reshape(-1), b, h * w, acc
     ).reshape(b, h, w, c).astype(images.dtype)
 
 
@@ -770,10 +816,8 @@ def _group_feature_grad(images, boxes_grouped, g, crop_hw, patch):
         + x_start[..., None, None] + ox
     )  # [B,P,py,px]
     acc = _acc_dtype(images)
-    return jax.ops.segment_sum(
-        g_patches.reshape(-1, c).astype(acc),
-        fid.reshape(-1),
-        num_segments=b * h * w,
+    return _frame_chunked_segment_sum(
+        g_patches.reshape(-1, c), fid.reshape(-1), b, h * w, acc
     ).reshape(b, h, w, c).astype(images.dtype)
 
 

@@ -575,3 +575,46 @@ def test_grid_filter_matches_gather_filter(rng):
         ext, odd, cfg, max_anchors=256,
     )
     assert got.anchors.shape[1] == 256
+
+
+def test_frame_chunked_scatter_grads_match_unchunked(monkeypatch):
+    """Forcing the feature-grad scatter into frame chunks (the TPU
+    accumulator-cliff fix) must not change any gradient: each segment id
+    belongs to exactly one frame, so the per-segment summation sets are
+    identical. Covers all three backward paths (corner scatter, grouped
+    window transpose, flat grouped)."""
+
+    rng = np.random.RandomState(0)
+    b, h, w, c = 4, 16, 20, 8
+    images = jnp.array(rng.rand(b, h, w, c).astype(np.float32))
+
+    n = 6
+    y1 = rng.uniform(0, h - 5, (b, n))
+    x1 = rng.uniform(0, w - 5, (b, n))
+    boxes = jnp.array(
+        np.stack([y1, x1, y1 + rng.uniform(1, 4, (b, n)),
+                  x1 + rng.uniform(1, 4, (b, n))], -1).astype(np.float32)
+    )
+    p, v = 3, 2
+    gboxes = jnp.array(
+        np.stack([y1[:, : p * v], x1[:, : p * v], y1[:, : p * v] + 2.5,
+                  x1[:, : p * v] + 2.5], -1)
+        .reshape(b, p, v, 4).astype(np.float32)
+    )
+
+    cases = [
+        lambda im: jnp.sum(
+            crop_resize.crop_and_resize_px_batch(im, boxes, (3, 3)) ** 2
+        ),
+        lambda im: jnp.sum(
+            crop_resize.crop_and_resize_group_einsum_px(
+                im, gboxes, (3, 3), patch=8
+            ) ** 2
+        ),
+    ]
+    for loss in cases:
+        g_ref = jax.grad(loss)(images)
+        with monkeypatch.context() as m:
+            m.setattr(crop_resize, "_SCATTER_CHUNK_BYTES", 1)
+            g_chunk = jax.grad(loss)(images)
+        np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_chunk))
