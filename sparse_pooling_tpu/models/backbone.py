@@ -21,6 +21,15 @@ direction outright — base (32,64,128,256)x(2,2,3,3)+s2d: 47.6 ms/batch
 fwd+bwd vs wide_shallow (48,96,192,256)x(1,1,2,2) 52.1, narrow_deep 55.9,
 no-space-to-depth 71.9. The conv stages are at XLA's floor for this
 hardware; the config stands.
+
+PRECISION AXIS CLOSED (round 3, tools/probe_int8_conv.py): int8 PTQ convs
+LOSE to bf16 on this stack — the BEV encoder at batch 8 runs 5.03-5.23 ms
+bf16 vs 6.13 ms int8 even with ZERO requantization glue between layers
+(int8 x int8 -> int32, preferred_element_type) and 6.46 ms with the
+realistic per-layer rescale+relu+requant a PTQ deployment pays. XLA TPU
+does not reach the MXU's 2x int8 MAC rate through conv_general_dilated
+at these channel widths, so a quantized serving path would cost both
+speed AND AP risk here. Rejected; bf16 compute / fp32 params stands.
 """
 
 from __future__ import annotations
