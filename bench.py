@@ -38,11 +38,12 @@ def main():
         "consumer's)",
     )
     ap.add_argument(
-        "--batch", type=int, default=32,
+        "--batch", type=int, default=48,
         help="frames per step. Throughput/chip rises with batch until HBM "
-        "pressure: 92.7 fps at 8, 103.9 at 16, 111.0 at 32, 85.6 at 64 "
-        "(TPU v5e, 2026-08-18) — 32 is the measured knee and the default; "
-        "the eval sweep keeps batch 8 (host-latency-bound there)",
+        "pressure: 92.7 fps at 8, 103.9 at 16, 111.0 at 32, 118.6 at 40, "
+        "119.3 at 48, 116.7 at 56, 85.6 at 64 (TPU v5e, 2026-08-19) — 48 "
+        "is the measured knee and the default; the eval sweep keeps "
+        "batch 8 (host-latency-bound there)",
     )
     args = ap.parse_args()
 
