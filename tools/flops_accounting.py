@@ -13,10 +13,20 @@ not flops; bytes are reported as the CPU lower bound and labeled so).
 
 Usage:
   python tools/flops_accounting.py [--preset cars] [--batch 8]
-      [--fps 92.7] [--peak_tflops 197] [--peak_gbps 819]
+      [--fps 92.7] [--peak_tflops 197] [--peak_gbps 819] [--stages]
 
 Defaults for --peak: TPU v5e single chip (197 bf16 TFLOP/s, 819 GB/s).
 Pass the measured bench fps for the same preset/batch via --fps.
+
+--stages prints a per-stage GFLOP/frame + MB/frame ranking over
+tools/profile_stages.py's stage table (cars preset only). Caveat there:
+XLA's "bytes accessed" counts WHOLE operands, so gather-heavy stages
+(ROI crops, NMS) report upper bounds — a gather that touches 1% of a
+35 MB feature map is still billed 35 MB. Measured ranking 2026-08-19
+(batch 32, MB/frame): roi_rpn 616-689, bev_encode 579, shpl 471,
+img_encode 433, voxelize 354, roi_s2 322-362, in_filter 316, nms 278,
+decode 165-195 — the conv stages run ~33% MFU while the zero-FLOP
+gather/scatter stages carry the byte budget.
 """
 
 from __future__ import annotations
@@ -46,6 +56,11 @@ def main():
         help="compile backend for the cost analysis (cpu avoids touching "
         "the single-tenant TPU; flops are backend-independent)",
     )
+    ap.add_argument(
+        "--stages", action="store_true",
+        help="per-stage GFLOP/MB ranking over profile_stages.py's table "
+        "(cars preset; see module docstring for the gather-bytes caveat)",
+    )
     args = ap.parse_args()
 
     if args.backend == "cpu":
@@ -54,6 +69,24 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    if args.stages:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import importlib
+
+        ps = importlib.import_module("profile_stages")
+        stages = ps.build_stages(args.batch, False)
+        print(f"{'stage':22s} {'GF/frame':>9s} {'MB/frame':>9s}")
+        for name, (body, sargs) in stages.items():
+            try:
+                ca = jax.jit(body).lower(*sargs).compile().cost_analysis() or {}
+                print(
+                    f"{name:22s} {ca.get('flops', 0.0) / args.batch / 1e9:9.2f} "
+                    f"{ca.get('bytes accessed', 0.0) / args.batch / 1e6:9.1f}"
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"{name:22s} FAIL {type(e).__name__}: {str(e)[:60]}")
+        return
 
     from __graft_entry__ import _synthetic_raw
     from sparse_pooling_tpu.configs import AreaExtents
