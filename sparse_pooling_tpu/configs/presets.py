@@ -60,9 +60,13 @@ def cars_pyramid_config() -> PipelineConfig:
             # Held-out production-lattice AP holds: 0.902/0.902/0.902 vs
             # 0.909 baseline (run noise on 16 val frames). The IMAGE view
             # stays reference-exact: striding it too cost moderate BEV/3D
-            # AP 0.909 -> 0.791 (near-range boxes span far more than the
-            # window, so 7x7 sampling collapsed to a 16-cell context crop).
-            # A/B via experiments/cars_check.py --s2_bev_stride/--s2_img_stride.
+            # AP 0.909 -> 0.791 at stride 4 (near-range boxes span far more
+            # than the window, so 7x7 sampling collapsed to a 16-cell
+            # context crop); stride 2 measured 0.895/0.895/0.895 vs 0.909
+            # for only a 0.25 ms/frame win (0.67 -> 0.42 at batch 32,
+            # ~+3.6 fps e2e) — borderline-noise AP for a small win, left
+            # OFF: the flagship default keeps reference-exact image
+            # sampling. A/B via cars_check --s2_bev_stride/--s2_img_stride.
             avod=AvodStage2Config(
                 bev_roi_stride=4, img_roi_stride=1, roi_patch=16
             ),

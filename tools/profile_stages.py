@@ -383,7 +383,7 @@ def build_stages(b: int, train: bool):
 
         return fn
 
-    for stride, patch in ((4, 16), (8, 12)):
+    for stride, patch in ((2, 16), (4, 16), (8, 12)):
         stages[f"roi_s2_bev_patch_s{stride}p{patch}"] = (
             _s2_patch(stride, patch), (bev_feat, s2_bev_px)
         )
