@@ -149,8 +149,19 @@ def bev_maps_from_points_batch(
     )
     lin = row * w + col
 
+    # Per-sample segment stride = cells + sentinel, rounded up to a lane
+    # multiple (128). Segments past the sentinel are never indexed and the
+    # [:, :num_cells] slice is unchanged. Measured effect (trace_hot_ops,
+    # batch 48, 2026-08-19): NEUTRAL — the hot item around this op is a
+    # ~30 ms/batch XLA relayout (a T(1024)->T(8,128) tiling conversion of
+    # the 537 MB flat scatter output: while-loop + 48x dynamic-update-
+    # slice), and it persists with aligned strides because the cost is
+    # the 1D->tiled-3D conversion itself, not row alignment. Shrinking it
+    # would need a tiled scatter accumulator (vmapped scatters measured
+    # 3x slower) or bf16 heights (breaks the <=1e-3 parity bar); accepted
+    # as ~0.6 ms/frame of near-bandwidth-bound traffic.
     num_cells = h * w
-    seg = num_cells + 1  # per-sample sentinel segment for masked points
+    seg = -(-(num_cells + 1) // 128) * 128
     boff = (jnp.arange(bsz, dtype=jnp.int32) * seg)[:, None]
     dens_idx = (jnp.where(valid, lin, num_cells) + boff).reshape(-1)
     counts = jax.ops.segment_sum(
@@ -171,7 +182,7 @@ def bev_maps_from_points_batch(
     s_valid = valid & (s_idx >= 0) & (s_idx < n_slices)
     rel_h = heights - s_idx.astype(heights.dtype) * slice_h
     num_slice_cells = num_cells * n_slices
-    seg_s = num_slice_cells + 1
+    seg_s = -(-(num_slice_cells + 1) // 128) * 128  # lane-aligned, see above
     soff = (jnp.arange(bsz, dtype=jnp.int32) * seg_s)[:, None]
     slice_lin = (
         jnp.where(s_valid, lin * n_slices + s_idx, num_slice_cells) + soff

