@@ -10,7 +10,10 @@ This is the measurement the CPU cost model cannot give (XLA bills whole
 operands to gathers); use it to rank byte/latency levers honestly.
 
 Usage: python tools/trace_hot_ops.py [--preset cars] [--batch 48]
-           [--iters 3] [--top 25]
+           [--iters 3] [--top 25] [--train]
+
+--train traces the FULL train step (inputs -> forward -> loss -> grads
+-> Adam) instead of the inference graph (cars preset pipeline).
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--logdir", default=None)
+    ap.add_argument("--train", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -72,12 +76,29 @@ def main():
 
     params = jax.jit(init_fn)(key, raw0)
 
-    @jax.jit
-    def step(params, batch):
-        out = pl.forward_batch_fn(
-            model, params, batch, anchors_static, cfg, ext, False
+    if args.train:
+        from sparse_pooling_tpu.configs.presets import preset as preset_fn
+        from sparse_pooling_tpu.runtime.trainer import (
+            build_optimizer, make_train_step,
         )
-        return pl.decode_batch(out, batch.ground_plane, cfg, ext)
+
+        pipe = preset_fn(args.preset)
+        tx = build_optimizer(pipe)
+        opt_state = jax.jit(tx.init)(params)
+        train_step = make_train_step(model, tx, anchors_static, pipe, ext)
+
+        @jax.jit
+        def step(params, batch):
+            return train_step(params, opt_state, batch, key)[:2]
+
+    else:
+
+        @jax.jit
+        def step(params, batch):
+            out = pl.forward_batch_fn(
+                model, params, batch, anchors_static, cfg, ext, False
+            )
+            return pl.decode_batch(out, batch.ground_plane, cfg, ext)
 
     jax.block_until_ready(step(params, batch))  # compile + warm
 
