@@ -45,11 +45,17 @@ def main():
         "is the measured knee and the default; the eval sweep keeps "
         "batch 8 (host-latency-bound there)",
     )
+    ap.add_argument(
+        "--roi_quad", type=int, default=None,
+        help="override rpn.roi_quad for A/B (preset default otherwise)",
+    )
     args = ap.parse_args()
 
     import sparse_pooling_tpu as _spt
 
     _spt.enable_compile_cache()
+
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
@@ -62,6 +68,10 @@ def main():
     batch_size = args.batch
     n_iters = 10
     cfg = preset(args.preset).model
+    if args.roi_quad is not None:
+        cfg = dataclasses.replace(
+            cfg, rpn=dataclasses.replace(cfg.rpn, roi_quad=args.roi_quad)
+        )
     ext = AreaExtents()
     model = pl.make_model(cfg, ext)
     anchors_static = jnp.array(pl.static_anchor_grid(cfg, ext))

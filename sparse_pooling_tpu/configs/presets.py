@@ -107,13 +107,19 @@ def people_pyramid_config() -> PipelineConfig:
             ),
             # finer ROI pooling: pedestrians/cyclists are ~0.6-0.8 m wide,
             # so the car default of 0.8 m avg-pool cells would wash them
-            # out. Capped per-position path: the people grid (0.3 m
-            # stride, 4 variants) is ~250k dense anchors, so the
-            # tier-compacted cap keeps the RPN tractable; its odd grid
-            # dims also fail quad_supported, so roi_quad would fall back
-            # anyway.
+            # out. Capped path: the people grid (0.3 m stride, 4 variants)
+            # is ~250k dense anchors, so the tier-compacted cap keeps the
+            # RPN tractable. roi_quad=4 (4x4-position blocks over the
+            # padded 233x267 grid — non-divisible dims pad with
+            # never-kept empties): measured 81.0 -> 108.8 fps/chip at
+            # batch 48 (Q2: 104.5) with held-out production-geometry AP
+            # IDENTICAL to Q1 (Ped 0.909/0.909/0.909, Cyc 1.000/1.000/
+            # 1.000 — people_prod_check --roi_quad 4, 3000 steps, TPU,
+            # 2026-08-19). Same cap-overflow semantics as cars: densest
+            # count tiers kept first.
             rpn=RpnConfig(
-                bev_roi_stride=4, img_roi_stride=4, dense_grid=False
+                bev_roi_stride=4, img_roi_stride=4, dense_grid=False,
+                roi_quad=4,
             ),
         ),
     )
