@@ -149,28 +149,32 @@ def bev_maps_from_points_batch(
     )
     lin = row * w + col
 
-    # Per-sample segment stride = cells + sentinel, rounded up to a lane
-    # multiple (128). Segments past the sentinel are never indexed and the
-    # [:, :num_cells] slice is unchanged. Measured effect (trace_hot_ops,
-    # batch 48, 2026-08-19): NEUTRAL — the hot item around this op is a
-    # ~30 ms/batch XLA relayout (a T(1024)->T(8,128) tiling conversion of
-    # the 537 MB flat scatter output: while-loop + 48x dynamic-update-
-    # slice), and it persists with aligned strides because the cost is
-    # the 1D->tiled-3D conversion itself, not row alignment. Shrinking it
-    # would need a tiled scatter accumulator (vmapped scatters measured
-    # 3x slower) or bf16 heights (breaks the <=1e-3 parity bar); accepted
-    # as ~0.6 ms/frame of near-bandwidth-bound traffic.
+    # BATCH-MINOR segment space: idx = cell*B + b, so the flat scatter
+    # output is a [cells+1, B] matrix and ONE 2D transpose hands XLA the
+    # batch-major consumer layout. The batch-MAJOR form (per-sample
+    # stride, idx = b*seg + cell) made XLA convert the 537 MB flat
+    # {0:T(1024)} output to the tiled consumer layout through a while
+    # loop of 48 dynamic-update-slices at ~77 GB/s — 29.5 ms/batch-48,
+    # the single largest non-conv item in the trace (trace_hot_ops,
+    # 2026-08-19) — whereas its tiled 2D transpose runs near bandwidth.
+    # Measured on the full voxelizer + conv consumer, batch 48
+    # (tools/probe_voxel_relayout.py): batch-major 46.7 ms, batch-minor
+    # 30.0 ms, tile-aligned reshape 34.1, bf16-cast-early 50.9; outputs
+    # bit-identical (same entries per segment, scatter order immaterial
+    # for sum/max). Lane-aligned per-sample strides had already measured
+    # NEUTRAL — the cost was the 1D->tiled conversion itself.
     num_cells = h * w
-    seg = -(-(num_cells + 1) // 128) * 128
-    boff = (jnp.arange(bsz, dtype=jnp.int32) * seg)[:, None]
-    dens_idx = (jnp.where(valid, lin, num_cells) + boff).reshape(-1)
+    b_ids = jnp.broadcast_to(
+        jnp.arange(bsz, dtype=jnp.int32)[:, None], (bsz, points.shape[1])
+    )
+    dens_idx = (jnp.where(valid, lin, num_cells) * bsz + b_ids).reshape(-1)
     counts = jax.ops.segment_sum(
         jnp.ones((bsz * points.shape[1],), jnp.float32),
         dens_idx,
-        num_segments=bsz * seg,
-    ).reshape(bsz, seg)[:, :num_cells]
+        num_segments=(num_cells + 1) * bsz,
+    ).reshape(num_cells + 1, bsz)[:num_cells]
     density = jnp.minimum(
-        1.0, jnp.log(counts + 1.0) / jnp.log(cfg.density_log_norm)
+        1.0, jnp.log(counts.T + 1.0) / jnp.log(cfg.density_log_norm)
     ).reshape(bsz, h, w)
 
     gp = ground_plane[:, :, None]  # [B, 4, 1]
@@ -182,18 +186,16 @@ def bev_maps_from_points_batch(
     s_valid = valid & (s_idx >= 0) & (s_idx < n_slices)
     rel_h = heights - s_idx.astype(heights.dtype) * slice_h
     num_slice_cells = num_cells * n_slices
-    seg_s = -(-(num_slice_cells + 1) // 128) * 128  # lane-aligned, see above
-    soff = (jnp.arange(bsz, dtype=jnp.int32) * seg_s)[:, None]
-    slice_lin = (
-        jnp.where(s_valid, lin * n_slices + s_idx, num_slice_cells) + soff
+    slice_lin = (  # batch-minor, see density note above
+        jnp.where(s_valid, lin * n_slices + s_idx, num_slice_cells) * bsz + b_ids
     ).reshape(-1)
     slice_max = jax.ops.segment_max(
         jnp.where(s_valid, rel_h, 0.0).astype(jnp.float32).reshape(-1),
         slice_lin,
-        num_segments=bsz * seg_s,
-    ).reshape(bsz, seg_s)[:, :num_slice_cells]
+        num_segments=(num_slice_cells + 1) * bsz,
+    ).reshape(num_slice_cells + 1, bsz)[:num_slice_cells]
     slice_maps = (
-        jnp.maximum(slice_max, 0.0).reshape(bsz, h, w, n_slices) / slice_h
+        jnp.maximum(slice_max.T, 0.0).reshape(bsz, h, w, n_slices) / slice_h
     )
 
     out = jnp.concatenate([slice_maps, density[..., None]], axis=-1)
