@@ -151,6 +151,73 @@ def _gather_point_patches(src_map, cols):
 
 
 @functools.cache
+def _patch_pool_denom_with_vjp(num_targets: int):
+    """Patch pooling that ALSO returns the per-target weight sum, fused
+    into the SAME segment_sum as channel C+1.
+
+    The deferred-row-norm denominator used to be a separate 1-lane
+    segment_sum — but segment scatters are ENTRY-bound, not lane-bound
+    (the [B*T, C] accumulator tiles to 128 lanes whether C is 1 or 33),
+    so the "cheap" denominator measured ~half the feature scatter: 5.3-5.6
+    vs 9.8-10.8 ms/batch-48/direction in the TPU trace (trace_hot_ops,
+    2026-08-19). Appending the weight as one extra entry channel makes it
+    ride the feature scatter for free. custom_vjp for the same reason as
+    ``_patch_pool_with_vjp`` (see below); d/dvals gains the denominator
+    cotangent term.
+    """
+
+    def impl(src_map, rows, cols, vals):
+        b, _, _, c = src_map.shape
+        patches = _gather_point_patches(src_map, cols)
+        g = jnp.sum(patches.astype(jnp.float32) * vals[..., None], axis=2)
+        wsum = jnp.sum(vals, axis=-1, keepdims=True).astype(jnp.float32)
+        e = jnp.concatenate([g, wsum], axis=-1)  # [B, P, C+1]
+        row_off = (jnp.arange(b, dtype=rows.dtype) * num_targets)[:, None]
+        flat = jax.ops.segment_sum(
+            e.reshape(-1, c + 1), (rows + row_off).reshape(-1),
+            num_segments=b * num_targets,
+        ).reshape(b, num_targets, c + 1)
+        return flat[..., :c], flat[..., c]
+
+    @jax.custom_vjp
+    def pool(src_map, rows, cols, vals):
+        return impl(src_map, rows, cols, vals)
+
+    def fwd(src_map, rows, cols, vals):
+        return impl(src_map, rows, cols, vals), (src_map, rows, cols, vals)
+
+    def bwd(res, cts):
+        import numpy as np
+
+        g, g_den = cts
+        src_map, rows, cols, vals = res
+        b, hs, ws, c = src_map.shape
+        p = rows.shape[1]
+        row_off = (jnp.arange(b, dtype=rows.dtype) * num_targets)[:, None]
+        rflat = (rows + row_off).reshape(-1)
+        gp = jnp.take(
+            g.astype(jnp.float32).reshape(b * num_targets, c), rflat, axis=0
+        ).reshape(b, p, c)
+        gd = jnp.take(
+            g_den.astype(jnp.float32).reshape(-1), rflat, axis=0
+        ).reshape(b, p, 1)
+        entries = (vals[..., None] * gp[:, :, None, :]).reshape(-1, c)
+        coff = (jnp.arange(b, dtype=cols.dtype) * (hs * ws))[:, None, None]
+        g_src = jax.ops.segment_sum(
+            entries, (cols + coff).reshape(-1), num_segments=b * hs * ws
+        ).reshape(src_map.shape).astype(src_map.dtype)
+        patches = _gather_point_patches(src_map, cols).astype(jnp.float32)
+        g_vals = (
+            jnp.sum(patches * gp[:, :, None, :], axis=-1) + gd
+        ).astype(vals.dtype)
+        zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+        return g_src, zero(rows), zero(cols), g_vals
+
+    pool.defvjp(fwd, bwd)
+    return pool
+
+
+@functools.cache
 def _patch_pool_with_vjp(num_targets: int):
     """custom_vjp: XLA's default transpose of the 2x2-window gather is a
     window scatter-add, which the TPU backend SERIALIZES (840+ ms measured,
@@ -224,10 +291,13 @@ def sparse_pool_patch_major_batch(
     ``_patch_pool_with_vjp``).
 
     ``divide_by_weight_sum`` applies a ``DeviceCoo(defer_row_norm=True)``'s
-    deferred row normalization with a SEPARATE channel-free segment-sum of
-    the weights (outside the custom VJP, so autodiff handles the quotient;
-    the denominator segsum carries 1 lane vs the features' C, ~1/C of the
-    pooling's scatter cost).
+    deferred row normalization with the per-target weight sum FUSED into the
+    feature segment-sum as channel C+1 (``_patch_pool_denom_with_vjp``):
+    segment scatters are entry-bound, not lane-bound, so the former separate
+    1-lane denominator scatter cost ~half the feature scatter (5.3-5.6 vs
+    9.8-10.8 ms/batch-48/direction in the TPU trace, trace_hot_ops
+    2026-08-19). The quotient stays outside the custom VJP so autodiff
+    handles it.
 
     History: measured NEUTRAL at the 32k point cap (18.35 vs 18.17
     ms/batch-8, both fusion directions — the pooling was segment-sum
@@ -238,17 +308,13 @@ def sparse_pool_patch_major_batch(
     (models/fusion.py).
     """
 
-    out = _patch_pool_with_vjp(int(num_targets))(src_map, rows, cols, vals)
     if divide_by_weight_sum:
-        b = rows.shape[0]
-        row_off = (jnp.arange(b, dtype=rows.dtype) * num_targets)[:, None]
-        denom = jax.ops.segment_sum(
-            vals.sum(axis=-1).reshape(-1),
-            (rows + row_off).reshape(-1),
-            num_segments=b * num_targets,
-        ).reshape(b, num_targets, 1)
-        out = jnp.where(denom > 1e-12, out / jnp.maximum(denom, 1e-12), 0.0)
-    return out
+        out, den = _patch_pool_denom_with_vjp(int(num_targets))(
+            src_map, rows, cols, vals
+        )
+        denom = den[..., None]
+        return jnp.where(denom > 1e-12, out / jnp.maximum(denom, 1e-12), 0.0)
+    return _patch_pool_with_vjp(int(num_targets))(src_map, rows, cols, vals)
 
 
 def sparse_pool_ell(
