@@ -122,21 +122,49 @@ def main():
     total = 0.0
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
-            row = agg.setdefault(e.get("name", "?"), [0, 0.0])
+            name = e.get("name", "?")
+            # Skip the module-level parent event (one per executable run,
+            # e.g. "jit_step(<fingerprint>)"): it SPANS the child op events
+            # on the same lane, so counting it double-counts the whole
+            # device time (observed 2026-08-20: reported total was exactly
+            # 2x the real per-iter time).
+            if name.startswith("jit_") and "(" in name:
+                continue
+            row = agg.setdefault(name, [0, 0.0, "", ""])
             row[0] += 1
             row[1] += e["dur"]
             total += e["dur"]
+            a = e.get("args", {})
+            if not row[2]:
+                row[2] = str(a.get("hlo_category", ""))[:18]
+                ln = str(a.get("long_name", ""))
+                # keep just "<out_shape> fusion(<first operand shape>"
+                row[3] = ln.split(" = ", 1)[-1][:72]
     per_iter = total / args.iters / 1e3
     print(f"trace: {path}")
     print(
         f"device total {per_iter:.2f} ms/iter ({per_iter / b:.3f} ms/frame) "
         f"over {args.iters} iters, {len(agg)} distinct ops"
     )
-    print(f"{'ms/iter':>9s} {'%dev':>6s} {'x/iter':>7s}  op")
-    for name, (c, d) in sorted(agg.items(), key=lambda kv: -kv[1][1])[: args.top]:
+    # per-category rollup first (convs vs gathers vs layout copies)
+    cats = {}
+    for name, (c, d, cat, _) in agg.items():
+        row = cats.setdefault(cat or "?", [0, 0.0])
+        row[0] += c
+        row[1] += d
+    print("by category:")
+    for cat, (c, d) in sorted(cats.items(), key=lambda kv: -kv[1][1])[:8]:
         print(
             f"{d / args.iters / 1e3:9.3f} {100.0 * d / total:6.2f} "
-            f"{c / args.iters:7.1f}  {name[:90]}"
+            f"n={c // args.iters:5d}  {cat}"
+        )
+    print(f"{'ms/iter':>9s} {'%dev':>6s} {'x/iter':>7s}  op")
+    for name, (c, d, cat, ln) in sorted(agg.items(), key=lambda kv: -kv[1][1])[
+        : args.top
+    ]:
+        print(
+            f"{d / args.iters / 1e3:9.3f} {100.0 * d / total:6.2f} "
+            f"{c / args.iters:7.1f}  {name[:40]:40s} [{cat}] {ln}"
         )
 
 
