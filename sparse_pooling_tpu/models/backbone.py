@@ -62,11 +62,9 @@ class VggEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.space_to_depth:
-            b0, h, w, c = x.shape
-            x = x.reshape(b0, h // 2, 2, w // 2, 2, c).transpose(
-                0, 1, 3, 2, 4, 5
-            ).reshape(b0, h // 2, w // 2, 4 * c)
+        # space_to_depth: x arrives ALREADY packed (the extractor packs,
+        # or the voxelizer emits packed directly — bev_maps_packed_batch);
+        # the flag here only skips the stage-1 pool.
         skips = []
         for stage, (ch, nb) in enumerate(zip(self.channels, self.blocks)):
             if stage > 0 and not (stage == 1 and self.space_to_depth):
@@ -158,7 +156,18 @@ class VggPyramidExtractor(nn.Module):
             stop_stride=self.decode_stride,
         )
 
-    def encode(self, x) -> Tuple[jnp.ndarray, list]:
+    def encode(self, x, pre_packed: bool = False) -> Tuple[jnp.ndarray, list]:
+        """``pre_packed``: the input is already in space-to-depth layout
+        ([B, H/2, W/2, 4C] — e.g. from ``bev_device.bev_maps_packed_batch``,
+        which scatters straight into it and skips the full-res raster)."""
+
+        if self.space_to_depth and not pre_packed:
+            b0, h, w, c = x.shape
+            x = x.reshape(b0, h // 2, 2, w // 2, 2, c).transpose(
+                0, 1, 3, 2, 4, 5
+            ).reshape(b0, h // 2, w // 2, 4 * c)
+        elif pre_packed and not self.space_to_depth:
+            raise ValueError("pre_packed input requires space_to_depth=True")
         skips = self.encoder(x.astype(self.dtype))
         return skips[-1], skips[:-1]
 

@@ -142,7 +142,13 @@ class FusionRcnn(nn.Module):
         ext = self.extents
         img_hw = (c.image.height, c.image.width)
 
-        bev_mid, bev_skips = self.bev_extractor.encode(inputs["bev_input"])
+        # bev_input may arrive pre-packed in space-to-depth layout (see
+        # models.detector / bev_device.bev_maps_packed_batch)
+        bev_mid, bev_skips = self.bev_extractor.encode(
+            inputs["bev_input"],
+            pre_packed=inputs["bev_input"].shape[-1]
+            != c.bev.height_slices + 1,
+        )
         img_mid, img_skips = self.img_extractor.encode(inputs["image"])
         bev_mid_f = self.bev_fusion(bev_mid, img_mid, inputs["m_bev"])
         img_mid_f = self.img_fusion(img_mid, bev_mid, inputs["m_fv"])

@@ -143,9 +143,23 @@ def build_model_inputs_batch(
     tools/profile_micro.py).
     """
 
-    bev_input = bev_device.bev_maps_from_points_batch(
-        batch.points, batch.points_mask, batch.ground_plane, extents, cfg.bev
-    )
+    h, w = cfg.bev.grid_hw(extents)
+    hp, _ = cfg.bev.padded_hw(extents)
+    # Scatter straight into space-to-depth layout when the backbone packs
+    # anyway: the full-res [B, H+pad, W, 6] raster then never exists
+    # (~15 ms/iter of layout copies at batch 48 — see
+    # bev_device.bev_maps_packed_batch). Bit-identical model inputs.
+    use_packed = cfg.backbone.space_to_depth and hp % 2 == 0 and w % 2 == 0
+    if use_packed:
+        bev_input, bev_counts_s2d = bev_device.bev_maps_packed_batch(
+            batch.points, batch.points_mask, batch.ground_plane, extents,
+            cfg.bev,
+        )
+    else:
+        bev_input = bev_device.bev_maps_from_points_batch(
+            batch.points, batch.points_mask, batch.ground_plane, extents,
+            cfg.bev,
+        )
     if cfg.image.device_resize and batch.image_scale is not None:
         from sparse_pooling_tpu.ops import image_resize
 
@@ -159,8 +173,17 @@ def build_model_inputs_batch(
         cfg.image, cfg.sparse_pool,
     )
 
-    h, w = cfg.bev.grid_hw(extents)
-    if cfg.anchors.density_threshold <= 1:
+    if use_packed:
+        # per-cell counts ride the packed builder. Preserve the EXACT
+        # raster semantics of the unpacked path: 0/1 indicator for
+        # threshold <= 1 (the tier ranking sums this raster — switching
+        # to raw counts would change the kept set under cap overflow),
+        # raw counts above (matching bev_counts_from_points).
+        raster = bev_counts_s2d
+        if cfg.anchors.density_threshold <= 1:
+            raster = (raster > 0).astype(jnp.float32)
+        occupancy = bev_device.unpack_s2d_raster(raster, h)
+    elif cfg.anchors.density_threshold <= 1:
         occupancy = (bev_input[:, :h, :, cfg.bev.height_slices] > 0).astype(
             jnp.float32
         )

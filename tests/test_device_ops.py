@@ -90,6 +90,50 @@ def test_bev_device_batch(kitti_root):
     np.testing.assert_allclose(np.asarray(batch[0]), np.asarray(batch[1]))
 
 
+def test_bev_packed_matches_unpacked_plus_s2d(kitti_root):
+    """bev_maps_packed_batch must equal the unpacked builder followed by
+    the backbone's space-to-depth reshape, bit-for-bit, and its counts
+    raster must unpack to the per-cell point counts."""
+
+    _, plane, pts = _load_frame(kitti_root)
+    ext, cfg = AreaExtents(), _TEST_BEV
+    h, w = cfg.grid_hw(ext)
+    hp = h + cfg.pad_h
+    assert hp % 2 == 0 and w % 2 == 0
+    padded, mask = P.pad_or_subsample(pts.astype(np.float32), 8192)
+    pts_b = jnp.stack([jnp.array(padded)] * 2)
+    # give the two frames different masks to catch batch-mixing bugs
+    mask2 = np.array(mask)
+    mask2[: len(mask2) // 2] = False
+    mask_b = jnp.stack([jnp.array(mask), jnp.array(mask2)])
+    plane_b = jnp.stack([jnp.array(plane, dtype=jnp.float32)] * 2)
+
+    unpacked = np.asarray(
+        bev_device.bev_maps_from_points_batch(pts_b, mask_b, plane_b, ext, cfg)
+    )
+    b0 = unpacked.shape[0]
+    nch = cfg.height_slices + 1
+    want = (
+        unpacked.reshape(b0, hp // 2, 2, w // 2, 2, nch)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b0, hp // 2, w // 2, 4 * nch)
+    )
+    packed, counts = bev_device.bev_maps_packed_batch(
+        pts_b, mask_b, plane_b, ext, cfg
+    )
+    np.testing.assert_array_equal(np.asarray(packed), want)
+
+    # counts unpack to the full-res raster; density channel agrees
+    occ = np.asarray(bev_device.unpack_s2d_raster(counts, h))
+    assert occ.shape == (b0, h, w)
+    dens = unpacked[:, :h, :, cfg.height_slices]
+    np.testing.assert_allclose(
+        np.minimum(1.0, np.log(occ + 1.0) / np.log(cfg.density_log_norm)),
+        dens,
+        atol=1e-6,
+    )
+
+
 def test_sparse_pool_coo_vs_dense_matmul(rng):
     s, c, t, nnz = 64, 8, 48, 256
     x = rng.randn(s, c).astype(np.float32)

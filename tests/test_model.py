@@ -681,3 +681,58 @@ def test_backbone_remat_grads_exact():
     assert float(l0) == float(l1)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_voxelizer_pipeline_matches_unpacked(setup):
+    """With space_to_depth the pipeline scatters straight into the packed
+    layout (bev_device.bev_maps_packed_batch); the model forward must be
+    IDENTICAL to building the full-res raster and packing in the encoder."""
+
+    import dataclasses
+
+    _, ext, _, _, raw, _ = setup
+    base = unittest_config().model
+    cfg = dataclasses.replace(
+        base,
+        backbone=dataclasses.replace(
+            base.backbone, channels=(8, 16, 16), blocks=(1, 1, 1),
+            decode_stride=2, space_to_depth=True,
+        ),
+        sparse_pool=dataclasses.replace(base.sparse_pool, fusion_stride=4),
+        rpn=dataclasses.replace(
+            base.rpn, bev_roi_stride=2, img_roi_stride=2
+        ),
+    )
+    model = pl.make_model(cfg, ext)
+    anchors_static = jnp.array(pl.static_anchor_grid(cfg, ext))
+    batch = jax.tree.map(lambda x: x[None], raw)
+    keep = jnp.ones((1, 2), jnp.float32)
+
+    inputs_p = pl.build_model_inputs_batch(batch, anchors_static, keep, cfg, ext)
+    nch = cfg.bev.height_slices + 1
+    hp, w = cfg.bev.padded_hw(ext)
+    assert inputs_p["bev_input"].shape == (1, hp // 2, w // 2, 4 * nch)
+
+    # unpacked twin: same config except the input builder's packing is off
+    cfg_u = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, space_to_depth=False)
+    )
+    inputs_u = pl.build_model_inputs_batch(batch, anchors_static, keep, cfg_u, ext)
+    assert inputs_u["bev_input"].shape == (1, hp, w, nch)
+    # identical anchor filtering (the occupancy raster semantics match)
+    np.testing.assert_array_equal(
+        np.asarray(inputs_p["anchor_valid"]), np.asarray(inputs_u["anchor_valid"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(inputs_p["anchors"]), np.asarray(inputs_u["anchors"])
+    )
+
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key}, inputs_p, train=False)
+    out_p = model.apply(params, inputs_p, train=False)
+    # same model consumes the UNPACKED raster (encoder packs internally)
+    out_u = model.apply(params, inputs_u, train=False)
+    for k in out_p:
+        np.testing.assert_array_equal(
+            np.asarray(out_p[k]), np.asarray(out_u[k]), err_msg=k
+        )
