@@ -127,10 +127,211 @@ def _scene_objects(rng, idx: int, scene: str = "cars") -> List[dict]:
     return objs
 
 
+def _hard_scene_objects(rng, idx: int, flavor: str) -> List[dict]:
+    """15-25 objects spanning ALL difficulty bands (round-3 verdict item 1).
+
+    The plain 'cars'/'people' scenes hold 3-5 unoccluded near objects, so
+    every difficulty band scores identically and the 11-point AP saturates.
+    Hard scenes populate the bands distinctly: a near unoccluded tier
+    (easy), a mid tier whose bbox heights fall in [25, 40) px (moderate-
+    only), deliberate occlusion stacks and frustum-truncated objects
+    (moderate/hard), plus a beyond-band far tier (ignored GT) and unlabeled
+    clutter clusters that can draw false positives.
+    """
+
+    objs = []
+    n = 15 + int(rng.randint(0, 11))  # 15-25
+    # KITTI-ish class mix with distractor classes the evaluator must ignore
+    for _ in range(n):
+        r = rng.rand()
+        if flavor == "cars":
+            if r < 0.70:
+                typ = "Car"
+                l, w, h = (rng.uniform(3.4, 4.4), rng.uniform(1.5, 1.8),
+                           rng.uniform(1.4, 1.7))
+            elif r < 0.80:
+                typ = "Van"
+                l, w, h = (rng.uniform(4.6, 5.6), rng.uniform(1.7, 2.1),
+                           rng.uniform(1.9, 2.3))
+            elif r < 0.92:
+                typ = "Pedestrian"
+                l, w, h = (rng.uniform(0.6, 1.0), rng.uniform(0.5, 0.8),
+                           rng.uniform(1.6, 1.9))
+            else:
+                typ = "Cyclist"
+                l, w, h = (rng.uniform(1.5, 2.0), rng.uniform(0.4, 0.8),
+                           rng.uniform(1.6, 1.8))
+        else:  # people
+            if r < 0.45:
+                typ = "Pedestrian"
+                l, w, h = (rng.uniform(0.6, 1.0), rng.uniform(0.5, 0.8),
+                           rng.uniform(1.6, 1.9))
+            elif r < 0.75:
+                typ = "Cyclist"
+                l, w, h = (rng.uniform(1.5, 2.0), rng.uniform(0.4, 0.8),
+                           rng.uniform(1.6, 1.8))
+            elif r < 0.85:
+                typ = "Person_sitting"
+                l, w, h = (rng.uniform(0.6, 1.0), rng.uniform(0.5, 0.8),
+                           rng.uniform(1.0, 1.4))
+            else:
+                typ = "Car"
+                l, w, h = (rng.uniform(3.4, 4.4), rng.uniform(1.5, 1.8),
+                           rng.uniform(1.4, 1.7))
+        # depth tiers: pixel height = f * h / z with f ~ 721.5, so for
+        # h ~ 1.5 m the 40 px easy bar sits at z ~ 27 m and the 25 px
+        # moderate bar at z ~ 43 m
+        tier = rng.rand()
+        if tier < 0.30:
+            z = rng.uniform(8.0, 24.0)     # easy-capable
+        elif tier < 0.75:
+            z = rng.uniform(24.0, 42.0)    # moderate-height band
+        elif tier < 0.92:
+            z = rng.uniform(42.0, 55.0)    # below 25 px -> ignored GT
+        else:
+            z = rng.uniform(6.0, 20.0)     # near (occlusion stack anchors)
+        x_max = max(0.5, 0.4 * z - 1.0)
+        if rng.rand() < 0.18:
+            # truncation candidates: push to (or past) the frustum edge
+            x = np.sign(rng.rand() - 0.5) * rng.uniform(x_max, x_max + l)
+        else:
+            x = rng.uniform(-x_max, x_max)
+        objs.append(dict(type=typ, l=l, w=w, h=h, x=float(x), z=float(z),
+                         ry=rng.uniform(-np.pi, np.pi)))
+    # deliberate occlusion pairs: clone 3-5 objects shifted behind a
+    # foreground object so their bboxes overlap heavily
+    for _ in range(3 + int(rng.randint(0, 3))):
+        base = objs[int(rng.randint(0, len(objs)))]
+        dz = rng.uniform(4.0, 12.0)
+        z = base["z"] + dz
+        # same viewing ray -> scale x with depth to keep image overlap
+        x = base["x"] * z / base["z"] + rng.uniform(-0.8, 0.8)
+        objs.append(
+            dict(
+                type=base["type"], l=base["l"], w=base["w"], h=base["h"],
+                x=float(x), z=float(z), ry=rng.uniform(-np.pi, np.pi),
+            )
+        )
+    return objs
+
+
+def _box3d_corners_cam(x, y, z, l, w, h, ry) -> np.ndarray:
+    """Exact 8 corners of a KITTI 3D box (cam frame, y = bottom) -> (8, 3)."""
+
+    lx = np.array([1, 1, -1, -1, 1, 1, -1, -1]) * (l / 2)
+    lz = np.array([1, -1, -1, 1, 1, -1, -1, 1]) * (w / 2)
+    ly = np.array([0, 0, 0, 0, -h, -h, -h, -h])
+    c, s = np.cos(ry), np.sin(ry)
+    return np.stack(
+        [c * lx + s * lz + x, y + ly, -s * lx + c * lz + z], axis=1
+    )
+
+
+def _make_hard_frame(rng, idx: int, n_ground: int, n_obj: int, flavor: str):
+    """Hard-scene path: occlusion shadowing, truncation, 1/z^2 density.
+
+    Objects are processed near-to-far; each object's LiDAR points that
+    project inside a NEARER object's image bbox are dropped (the sensors
+    are nearly co-located, so camera occlusion ~ LiDAR shadowing), the
+    occlusion label is the fraction of its bbox covered by nearer bboxes
+    (devkit levels: < 0.15 -> 0, < 0.5 -> 1, else 2), and truncation is
+    the bbox fraction clipped by the image border. Unlabeled clutter
+    clusters (poles/bushes) are added so false positives COST something.
+    """
+
+    h_img, w_img = KITTI_IMAGE_HW
+    gx = rng.uniform(-30.0, 30.0, size=n_ground)
+    gz = rng.uniform(2.0, 68.0, size=n_ground)
+    gy = np.full_like(gx, 1.65) + rng.normal(0, 0.02, size=n_ground)
+    pts = [np.stack([gx, gy, gz], axis=1)]
+
+    objs = sorted(_hard_scene_objects(rng, idx, flavor), key=lambda o: o["z"])
+    labels = []
+    nearer_boxes: List[np.ndarray] = []  # clipped (u1, v1, u2, v2), near first
+    for ob in objs:
+        y = 1.65
+        corners_uv = _project(
+            _box3d_corners_cam(
+                ob["x"], y, ob["z"], ob["l"], ob["w"], ob["h"], ob["ry"]
+            )
+        )
+        u1, v1 = corners_uv.min(axis=0)
+        u2, v2 = corners_uv.max(axis=0)
+        full_area = max(u2 - u1, 0.0) * max(v2 - v1, 0.0)
+        cu1, cu2 = np.clip([u1, u2], 0, w_img - 1)
+        cv1, cv2 = np.clip([v1, v2], 0, h_img - 1)
+        vis_area = max(cu2 - cu1, 0.0) * max(cv2 - cv1, 0.0)
+        if full_area <= 0 or vis_area <= 0:
+            continue  # fully outside the image
+        trunc = 1.0 - vis_area / full_area
+        if trunc > 0.85:
+            continue
+        # occlusion fraction: sample a grid inside the clipped bbox and
+        # count coverage by any nearer object's bbox (union, not pairwise)
+        gu = np.linspace(cu1, cu2, 12)
+        gv = np.linspace(cv1, cv2, 12)
+        uu, vv = np.meshgrid(gu, gv)
+        covered = np.zeros(uu.shape, bool)
+        for nb in nearer_boxes:
+            covered |= (
+                (uu >= nb[0]) & (uu <= nb[2]) & (vv >= nb[1]) & (vv <= nb[3])
+            )
+        occ_frac = float(covered.mean())
+        if occ_frac > 0.9:
+            continue  # essentially invisible
+        occ = 0 if occ_frac < 0.15 else (1 if occ_frac < 0.5 else 2)
+
+        # LiDAR return density falls with range; shadowed points vanish
+        n_pts = max(24, int(n_obj * min(1.0, (12.0 / ob["z"]) ** 2)))
+        p = _box_points(
+            rng, ob["x"], y, ob["z"], ob["l"], ob["w"], ob["h"], ob["ry"],
+            n_pts,
+        )
+        if nearer_boxes:
+            uv = _project(p)
+            shadowed = np.zeros(len(p), bool)
+            for nb in nearer_boxes:
+                shadowed |= (
+                    (uv[:, 0] >= nb[0]) & (uv[:, 0] <= nb[2])
+                    & (uv[:, 1] >= nb[1]) & (uv[:, 1] <= nb[3])
+                )
+            # keep a sliver of leakage (beam divergence at box edges)
+            keep = ~shadowed | (rng.rand(len(p)) < 0.08)
+            p = p[keep]
+        pts.append(p)
+        nearer_boxes.append(np.array([cu1, cv1, cu2, cv2]))
+        alpha = ob["ry"] - np.arctan2(ob["x"], ob["z"])
+        labels.append(
+            (ob["type"], round(trunc, 2), occ, alpha, cu1, cv1, cu2, cv2,
+             ob["h"], ob["w"], ob["l"], ob["x"], y, ob["z"], ob["ry"])
+        )
+
+    # unlabeled clutter: narrow vertical clusters (poles, bushes) that the
+    # detector must learn to reject — hallucinations on them are real FPs
+    for _ in range(4 + int(rng.randint(0, 5))):
+        z = rng.uniform(6.0, 45.0)
+        x_max = max(0.5, 0.4 * z - 1.0)
+        cl = rng.uniform(0.2, 1.2)
+        cw = rng.uniform(0.2, 1.0)
+        ch = rng.uniform(0.5, 2.2)
+        n_pts = max(16, int(0.25 * n_obj * min(1.0, (12.0 / z) ** 2)))
+        pts.append(
+            _box_points(
+                rng, rng.uniform(-x_max, x_max), 1.65, z, cl, cw, ch,
+                rng.uniform(-np.pi, np.pi), n_pts,
+            )
+        )
+    return pts, labels
+
+
 def make_frame(idx: int, n_ground: int = 16384, n_obj: int = 1024, scene: str = "cars"):
     """Deterministic scene -> (velo (N,4) f32, labels list, image (H,W,3) u8)."""
 
     rng = np.random.RandomState(1000 + idx)
+    if scene.endswith("_hard"):
+        flavor = "people" if scene.startswith("people") else "cars"
+        pts, labels = _make_hard_frame(rng, idx, n_ground, n_obj, flavor)
+        return _finish_frame(rng, pts, labels)
     # ground: uniform over the camera-visible road
     gx = rng.uniform(-30.0, 30.0, size=n_ground)
     gz = rng.uniform(2.0, 68.0, size=n_ground)
@@ -154,6 +355,10 @@ def make_frame(idx: int, n_ground: int = 16384, n_obj: int = 1024, scene: str = 
             (ob["type"], 0.0, 0, alpha, u1, v1, u2, v2, ob["h"], ob["w"], ob["l"], ob["x"], y, ob["z"], ob["ry"])
         )
 
+    return _finish_frame(rng, pts, labels)
+
+
+def _finish_frame(rng, pts, labels):
     pts_cam = np.concatenate(pts, axis=0)
     # keep only camera-visible points (KITTI lidar covers the front)
     vis = pts_cam[:, 2] > 1.0
@@ -163,7 +368,8 @@ def make_frame(idx: int, n_ground: int = 16384, n_obj: int = 1024, scene: str = 
     ).astype(np.float32)
 
     # image: smooth gradient + per-object bright rectangles (content is
-    # irrelevant to the geometry tests; it just exercises the image branch)
+    # irrelevant to the geometry tests; it just exercises the image branch).
+    # Far-to-near draw order so nearer objects overdraw occluded ones.
     h_img, w_img = KITTI_IMAGE_HW
     yy, xx = np.mgrid[0:h_img, 0:w_img]
     img = np.stack(
@@ -174,9 +380,10 @@ def make_frame(idx: int, n_ground: int = 16384, n_obj: int = 1024, scene: str = 
         ],
         axis=-1,
     ).astype(np.uint8)
-    for lb in labels:
+    for lb in sorted(labels, key=lambda lb: -lb[13]):
         u1, v1, u2, v2 = (int(lb[4]), int(lb[5]), int(lb[6]), int(lb[7]))
-        img[v1 : v2 + 1, u1 : u2 + 1] = (200, 80, 40)
+        shade = int(np.clip(255 - 3.0 * lb[13], 80, 255))
+        img[v1 : v2 + 1, u1 : u2 + 1] = (shade, 80, 40)
     return velo, labels, img
 
 

@@ -25,6 +25,66 @@ import os
 import tempfile
 
 
+def _heading_flip_audit(ev, final_result, ap_points):
+    """Prove the AOS metric bites on THIS trained model's real outputs.
+
+    Flips every predicted heading by pi (ry + pi, alpha + pi) in a copy of
+    the final checkpoint's prediction dir and re-runs the AP evaluator:
+    2D/BEV/3D AP must be unchanged (a box footprint is pi-symmetric) while
+    AOS collapses. A detector whose orientation head predicted reversed
+    headings at chance would score exactly like the flipped copy — this
+    audit is the round-3 verdict's missing orientation-quality signal.
+    """
+
+    import math
+    import shutil
+
+    from sparse_pooling_tpu.data.labels import read_labels, write_labels
+    from sparse_pooling_tpu.native import kitti_eval
+    from sparse_pooling_tpu.runtime import metrics as metrics_mod
+
+    step = final_result["step"]
+    thresh = ev.cfg.eval.kitti_score_threshold
+    pred_dir = os.path.join(
+        ev.workdir, "predictions", "kitti_native_eval",
+        f"{thresh:g}", str(step), "data",
+    )
+    flip_dir = pred_dir.rstrip("/") + "_heading_flipped"
+    shutil.rmtree(flip_dir, ignore_errors=True)
+    os.makedirs(flip_dir)
+    for fname in os.listdir(pred_dir):
+        if not fname.endswith(".txt"):
+            continue
+        labels = read_labels(os.path.join(pred_dir, fname))
+        for lb in labels:
+            lb.ry = math.remainder(lb.ry + math.pi, 2 * math.pi)
+            lb.alpha = math.remainder(lb.alpha + math.pi, 2 * math.pi)
+        write_labels(os.path.join(flip_dir, fname), labels)
+    gt_dir = os.path.join(ev.dataset.base, "label_2")
+    classes = list(ev.cfg.model.classes)
+    if kitti_eval.available():
+        flipped = kitti_eval.evaluate_dirs(
+            gt_dir, flip_dir, classes, n_points=ap_points
+        )
+    else:
+        flipped = metrics_mod.evaluate_dirs(
+            gt_dir, flip_dir, classes, n_points=ap_points
+        )
+    base = final_result["ap"]
+    print("\n[heading-flip audit] pi-flipped predictions, moderate band:")
+    for cls in classes:
+        b, f = base[cls], flipped[cls]
+        print(
+            f"  {cls}: 3d {b['3d']['moderate']:.3f} -> "
+            f"{f['3d']['moderate']:.3f} (must hold)   "
+            f"aos {b['aos']['moderate']:.3f} -> "
+            f"{f['aos']['moderate']:.3f} (must collapse)"
+        )
+    return {
+        cls: {"base": base[cls], "flipped": flipped[cls]} for cls in classes
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=2000)
@@ -51,6 +111,22 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=8e-4)
     p.add_argument("--dataset_root", default=None, help="reuse an existing tree")
+    p.add_argument(
+        "--ap_points", type=int, default=40,
+        help="AP interpolation points (40 = modern KITTI protocol, the "
+        "check default so small regressions are visible; 11 = classic)",
+    )
+    p.add_argument(
+        "--scene", default="cars_hard",
+        choices=("cars", "cars_hard"),
+        help="synthetic scene generator: cars_hard (default) populates the "
+        "moderate/hard difficulty bands with occluded/truncated objects and "
+        "15-25 objects/frame so the oracle has headroom above AND below",
+    )
+    p.add_argument(
+        "--no_heading_audit", action="store_true",
+        help="skip the final heading-flip AOS audit",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -75,6 +151,7 @@ def main(argv=None):
         synthetic.write_kitti_tree(
             root, num_frames=n_total, n_ground=12288, n_obj=4096,
             val_frames=tuple(range(args.train_frames, n_total)),
+            scene=args.scene,
         )
 
     base = preset_fn(args.preset)
@@ -115,7 +192,10 @@ def main(argv=None):
                 decay_rate=0.5,
             ),
         ),
-        eval=EvalConfig(kitti_score_threshold=0.05, batch_size=4),
+        eval=EvalConfig(
+            kitti_score_threshold=0.05, batch_size=4,
+            ap_n_points=args.ap_points,
+        ),
         dataset=dataclasses.replace(
             base.dataset, root=root, split="train", aug_flip=True,
             aug_pca_jitter=False, shuffle=True,
@@ -132,19 +212,35 @@ def main(argv=None):
     )
     ev = Evaluator(eval_cfg)
     results = ev.repeated_checkpoint_run(max_wait=0)
-    print("\nstep   AP_2d(mod)  AP_bev(mod)  AP_3d(mod)   [Car, held-out val]")
+    print(
+        f"\n[{args.ap_points}-pt protocol, scene={args.scene}] Car, "
+        "held-out val — easy/moderate/hard"
+    )
+    print("step   metric      easy   moderate   hard")
     for r in results:
         ap = r["ap"]["Car"]
-        print(
-            f"{r['step']:>5} {ap['2d']['moderate']:10.3f} "
-            f"{ap['bev']['moderate']:11.3f} {ap['3d']['moderate']:10.3f}"
-        )
+        for metric in ("2d", "bev", "3d", "aos"):
+            if metric not in ap:
+                continue
+            m = ap[metric]
+            print(
+                f"{r['step']:>5}  {metric:<6} {m['easy']:8.3f} "
+                f"{m['moderate']:8.3f} {m['hard']:8.3f}"
+            )
+
+    heading_audit = None
+    if not args.no_heading_audit and results:
+        heading_audit = _heading_flip_audit(ev, results[-1], args.ap_points)
+
     summary = {
         "preset": args.preset,
         "roi_quad": args.roi_quad,
         "max_anchors": args.max_anchors,
         "steps": args.steps,
+        "ap_points": args.ap_points,
+        "scene": args.scene,
         "final_ap": results[-1]["ap"]["Car"],
+        "heading_flip_audit": heading_audit,
         "eval_fps": results[-1]["frames_per_sec"],
     }
     out_path = os.path.join(

@@ -33,6 +33,15 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=8e-4)
     p.add_argument("--dataset_root", default=None, help="reuse an existing tree")
+    p.add_argument(
+        "--ap_points", type=int, default=40,
+        help="AP interpolation points (40 = modern protocol, check default)",
+    )
+    p.add_argument(
+        "--scene", default="people_hard", choices=("people", "people_hard"),
+        help="people_hard (default) populates moderate/hard bands with "
+        "occluded/truncated objects + clutter (round-3 verdict item 1)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -57,7 +66,7 @@ def main(argv=None):
         synthetic.write_kitti_tree(
             root, num_frames=n_total, n_ground=12288, n_obj=4096,
             val_frames=tuple(range(args.train_frames, n_total)),
-            scene="people",
+            scene=args.scene,
         )
 
     base = people_pyramid_config()
@@ -81,7 +90,10 @@ def main(argv=None):
                 decay_rate=0.5,
             ),
         ),
-        eval=EvalConfig(kitti_score_threshold=0.05, batch_size=4),
+        eval=EvalConfig(
+            kitti_score_threshold=0.05, batch_size=4,
+            ap_n_points=args.ap_points,
+        ),
         dataset=dataclasses.replace(
             base.dataset, root=root, split="train", aug_flip=True,
             aug_pca_jitter=False, shuffle=True,
@@ -95,17 +107,26 @@ def main(argv=None):
     )
     ev = Evaluator(eval_cfg)
     results = ev.repeated_checkpoint_run(max_wait=0)
-    print("\nstep   class       AP_2d(mod)  AP_bev(mod)  AP_3d(mod)  [held-out]")
+    print(
+        f"\n[{args.ap_points}-pt protocol, scene={args.scene}] held-out val"
+    )
+    print("step   class       metric     easy  moderate    hard")
     for r in results:
         for cls in ("Pedestrian", "Cyclist"):
             ap = r["ap"][cls]
-            print(
-                f"{r['step']:>5}  {cls:<10} {ap['2d']['moderate']:10.3f} "
-                f"{ap['bev']['moderate']:11.3f} {ap['3d']['moderate']:10.3f}"
-            )
+            for metric in ("2d", "bev", "3d", "aos"):
+                if metric not in ap:
+                    continue
+                m = ap[metric]
+                print(
+                    f"{r['step']:>5}  {cls:<10} {metric:<6} {m['easy']:8.3f} "
+                    f"{m['moderate']:8.3f} {m['hard']:8.3f}"
+                )
     summary = {
         "roi_quad": args.roi_quad,
         "steps": args.steps,
+        "ap_points": args.ap_points,
+        "scene": args.scene,
         "final_ap": {c: results[-1]["ap"][c] for c in ("Pedestrian", "Cyclist")},
         "eval_fps": results[-1]["frames_per_sec"],
     }

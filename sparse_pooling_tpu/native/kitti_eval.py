@@ -39,8 +39,22 @@ def _load():
         if not build():
             return None
     lib = ctypes.CDLL(_SO)
-    lib.spt_evaluate.restype = ctypes.c_int
-    lib.spt_evaluate.argtypes = [
+    if not hasattr(lib, "spt_evaluate_v2"):
+        # stale pre-AOS library on disk: rebuild and reload. Remove the old
+        # file first so dlopen sees a fresh inode (the already-open handle
+        # would otherwise be returned again).
+        del lib
+        try:
+            os.remove(_SO)
+        except OSError:
+            return None
+        if not build():
+            return None
+        lib = ctypes.CDLL(_SO)
+        if not hasattr(lib, "spt_evaluate_v2"):
+            return None
+    lib.spt_evaluate_v2.restype = ctypes.c_int
+    lib.spt_evaluate_v2.argtypes = [
         ctypes.c_char_p,
         ctypes.c_char_p,
         ctypes.c_char_p,
@@ -62,18 +76,18 @@ def evaluate_dirs(
     if lib is None:
         raise RuntimeError("libkitti_eval.so unavailable (no C++ toolchain?)")
     n_cls = len(classes)
-    out = (ctypes.c_double * (n_cls * 9))()
-    n = lib.spt_evaluate(
+    out = (ctypes.c_double * (n_cls * 12))()
+    n = lib.spt_evaluate_v2(
         gt_dir.encode(), det_dir.encode(), ",".join(classes).encode(),
         n_points, out,
     )
     if n < 0:
-        raise RuntimeError(f"spt_evaluate failed: {n}")
+        raise RuntimeError(f"spt_evaluate_v2 failed: {n}")
     result: Dict[str, Dict[str, Dict[str, float]]] = {}
     idx = 0
     for cls in classes:
         result[cls] = {}
-        for metric in ("2d", "bev", "3d"):
+        for metric in ("2d", "bev", "3d", "aos"):
             result[cls][metric] = {}
             for diff in ("easy", "moderate", "hard"):
                 result[cls][metric][diff] = out[idx]

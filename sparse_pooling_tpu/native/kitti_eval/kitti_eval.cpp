@@ -183,6 +183,14 @@ double Iou3d(const Label& a, const Label& b) {
 
 enum Metric { kMetric2d = 0, kMetricBev = 1, kMetric3d = 2 };
 
+// per-detection record for the PR curve: score, TP flag, and (2D metric
+// only) the devkit AOS contribution (1 + cos(gt.alpha - det.alpha)) / 2.
+struct DetRecord {
+  double score;
+  bool tp;
+  double sim;
+};
+
 int GtStatus(const Label& g, const std::string& cls, const Difficulty& d) {
   if (g.type == cls) {
     double h = g.y2 - g.y1;
@@ -201,23 +209,26 @@ struct Frame {
   std::vector<Label> det;
 };
 
-double AveragePrecision(std::vector<std::pair<double, bool>> score_tp,
-                        int n_gt, int n_points) {
+// Interpolated AP over the PR curve; with use_sim, the precision numerator
+// becomes the cumulative orientation similarity (the devkit's AOS curve).
+double AveragePrecision(std::vector<DetRecord> score_tp, int n_gt,
+                        int n_points, bool use_sim = false) {
   if (n_gt == 0 || score_tp.empty()) return 0.0;
   std::stable_sort(
       score_tp.begin(), score_tp.end(),
-      [](const auto& a, const auto& b) { return a.first > b.first; });
+      [](const DetRecord& a, const DetRecord& b) { return a.score > b.score; });
   size_t n = score_tp.size();
   std::vector<double> recall(n), precision(n);
-  double tp = 0, fp = 0;
+  double tp = 0, fp = 0, val = 0;
   for (size_t i = 0; i < n; ++i) {
-    if (score_tp[i].second) {
+    if (score_tp[i].tp) {
       tp += 1;
     } else {
       fp += 1;
     }
+    val += use_sim ? score_tp[i].sim : (score_tp[i].tp ? 1.0 : 0.0);
     recall[i] = tp / n_gt;
-    precision[i] = tp / std::max(tp + fp, 1.0);
+    precision[i] = val / std::max(tp + fp, 1.0);
   }
   double ap = 0.0;
   int total = n_points;
@@ -233,10 +244,13 @@ double AveragePrecision(std::vector<std::pair<double, bool>> score_tp,
   return ap;
 }
 
+// Returns AP; for the 2D metric, *aos_out (if non-null) additionally gets
+// the devkit Average Orientation Similarity from the same matching pass.
 double EvaluateOne(const std::vector<Frame>& frames, const std::string& cls,
-                   const Difficulty& diff, Metric metric, int n_points) {
+                   const Difficulty& diff, Metric metric, int n_points,
+                   double* aos_out = nullptr) {
   double min_ov = MinOverlap(cls);
-  std::vector<std::pair<double, bool>> score_tp;  // non-ignored dets only
+  std::vector<DetRecord> score_tp;  // non-ignored dets only
   int n_gt = 0;
   for (const Frame& fr : frames) {
     std::vector<int> status(fr.gt.size());
@@ -274,14 +288,20 @@ double EvaluateOne(const std::vector<Frame>& frames, const std::string& cls,
       if (best_gi >= 0 && best_ov >= min_ov) {
         matched[best_gi] = true;
         if (status[best_gi] == 1 && !d_small) {
-          score_tp.emplace_back(d.score, true);
+          double sim = 0.5 * (1.0 + std::cos(fr.gt[best_gi].alpha - d.alpha));
+          score_tp.push_back({d.score, true, sim});
         }
         // matched an ignored GT (or the det is ignored): neither TP nor FP
       } else if (!d_small) {
-        score_tp.emplace_back(d.score, false);
+        score_tp.push_back({d.score, false, 0.0});
       }
       // small unmatched det: ignored, not an FP
     }
+  }
+  if (aos_out != nullptr) {
+    *aos_out = (metric == kMetric2d)
+                   ? AveragePrecision(score_tp, n_gt, n_points, true)
+                   : 0.0;
   }
   return AveragePrecision(std::move(score_tp), n_gt, n_points);
 }
@@ -319,11 +339,13 @@ std::vector<Frame> LoadFrames(const std::string& gt_dir,
 
 extern "C" {
 
-// out must hold n_classes * 3 metrics * 3 difficulties doubles, laid out
-// [cls][metric(2d,bev,3d)][difficulty(easy,mod,hard)]. classes_csv e.g.
+// out must hold n_classes * 4 metrics * 3 difficulties doubles, laid out
+// [cls][metric(2d,bev,3d,aos)][difficulty(easy,mod,hard)]. classes_csv e.g.
 // "Car,Pedestrian,Cyclist". Returns number of frames evaluated, < 0 on error.
-int spt_evaluate(const char* gt_dir, const char* det_dir,
-                 const char* classes_csv, int n_points, double* out) {
+// AOS (Average Orientation Similarity) uses the 2D matching with TPs
+// weighted by (1 + cos(dalpha)) / 2, matching the official devkit.
+int spt_evaluate_v2(const char* gt_dir, const char* det_dir,
+                    const char* classes_csv, int n_points, double* out) {
   std::vector<Frame> frames = LoadFrames(gt_dir, det_dir);
   if (frames.empty()) return 0;
   std::vector<std::string> classes;
@@ -334,14 +356,33 @@ int spt_evaluate(const char* gt_dir, const char* det_dir,
   }
   size_t idx = 0;
   for (const std::string& cls : classes) {
+    double aos[3] = {0, 0, 0};
     for (int m = 0; m < 3; ++m) {
       for (int di = 0; di < 3; ++di) {
         out[idx++] = EvaluateOne(frames, cls, kDifficulties[di],
-                                 static_cast<Metric>(m), n_points);
+                                 static_cast<Metric>(m), n_points,
+                                 m == kMetric2d ? &aos[di] : nullptr);
       }
     }
+    for (int di = 0; di < 3; ++di) out[idx++] = aos[di];
   }
   return static_cast<int>(frames.size());
+}
+
+// Back-compat layout: [cls][metric(2d,bev,3d)][difficulty] (no AOS).
+int spt_evaluate(const char* gt_dir, const char* det_dir,
+                 const char* classes_csv, int n_points, double* out) {
+  int n_cls = 1;
+  for (const char* p = classes_csv; *p; ++p) {
+    if (*p == ',') ++n_cls;
+  }
+  std::vector<double> full(static_cast<size_t>(n_cls) * 12, 0.0);
+  int n = spt_evaluate_v2(gt_dir, det_dir, classes_csv, n_points, full.data());
+  if (n <= 0) return n;
+  for (int c = 0; c < n_cls; ++c) {
+    std::memcpy(out + c * 9, full.data() + c * 12, 9 * sizeof(double));
+  }
+  return n;
 }
 
 }  // extern "C"
@@ -362,20 +403,20 @@ int main(int argc, char** argv) {
   for (const char* p = classes; *p; ++p) {
     if (*p == ',') ++n_cls;
   }
-  std::vector<double> out(n_cls * 9, 0.0);
-  int n = spt_evaluate(argv[1], argv[2], classes, n_points, out.data());
+  std::vector<double> out(n_cls * 12, 0.0);
+  int n = spt_evaluate_v2(argv[1], argv[2], classes, n_points, out.data());
   if (n <= 0) {
     std::fprintf(stderr, "no frames evaluated\n");
     return 1;
   }
   std::printf("evaluated %d frames\n", n);
-  const char* metric_names[3] = {"2d", "bev", "3d"};
+  const char* metric_names[4] = {"2d", "bev", "3d", "aos"};
   const char* diff_names[3] = {"easy", "moderate", "hard"};
   std::stringstream ss(classes);
   std::string cls;
   size_t idx = 0;
   while (std::getline(ss, cls, ',')) {
-    for (int m = 0; m < 3; ++m) {
+    for (int m = 0; m < 4; ++m) {
       std::printf("%s AP_%s:", cls.c_str(), metric_names[m]);
       for (int d = 0; d < 3; ++d) {
         std::printf(" %s=%.4f", diff_names[d], out[idx++]);

@@ -462,7 +462,8 @@ class Evaluator:
             if kitti_eval.available():
                 self._ap_backend = "native_cpp"
                 return kitti_eval.evaluate_dirs(
-                    gt_dir, pred_dir, self.cfg.model.classes
+                    gt_dir, pred_dir, self.cfg.model.classes,
+                    n_points=self.cfg.eval.ap_n_points,
                 )
             print(
                 "[evaluator] native kitti_eval .so not built "
@@ -474,7 +475,10 @@ class Evaluator:
                 "falling back to the numpy AP oracle"
             )
         self._ap_backend = "numpy_oracle"
-        return metrics_mod.evaluate_dirs(gt_dir, pred_dir, self.cfg.model.classes)
+        return metrics_mod.evaluate_dirs(
+            gt_dir, pred_dir, self.cfg.model.classes,
+            n_points=self.cfg.eval.ap_n_points,
+        )
 
     def _params_template(self):
         arrays, _ = next(

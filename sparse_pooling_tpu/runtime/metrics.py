@@ -167,15 +167,18 @@ def _gt_status(ob: ObjectLabel, cls: str, diff) -> int:
 
 
 def _pr_curve(frames: Sequence[FrameData], cls: str, diff, metric: str):
-    """Greedy matching -> (scores, tp flags, num_valid_gt).
+    """Greedy matching -> (scores, tp flags, sims, num_valid_gt).
 
     metric: '2d' | 'bev' | '3d'. Returns per-detection (score, is_tp,
-    is_ignored) across all frames plus the positive count.
+    is_ignored, orientation_similarity) across all frames plus the positive
+    count. ``sim`` is the devkit AOS contribution (1 + cos(gt.alpha -
+    det.alpha)) / 2 for TPs and 0 otherwise — only meaningful for the '2d'
+    matching, which is what the devkit computes AOS on.
     """
 
     min_ov = MIN_OVERLAP[cls]
     min_h = diff[0]
-    all_scores, all_tp, all_ignored = [], [], []
+    all_scores, all_tp, all_ignored, all_sim = [], [], [], []
     n_gt = 0
     for fr in frames:
         gt_status = np.array(
@@ -222,23 +225,36 @@ def _pr_curve(frames: Sequence[FrameData], cls: str, diff, metric: str):
                     all_scores.append(d.score)
                     all_tp.append(True)
                     all_ignored.append(False)
+                    all_sim.append(
+                        0.5 * (1.0 + np.cos(fr.gt[best_gi].alpha - d.alpha))
+                    )
                 else:  # matched an ignored GT, or the det itself is ignored
                     all_scores.append(d.score)
                     all_tp.append(False)
                     all_ignored.append(True)
+                    all_sim.append(0.0)
             else:
                 all_scores.append(d.score)
                 all_tp.append(False)
                 all_ignored.append(d_small)  # small unmatched det: not an FP
+                all_sim.append(0.0)
     return (
         np.array(all_scores),
         np.array(all_tp, bool),
         np.array(all_ignored, bool),
+        np.array(all_sim),
         n_gt,
     )
 
 
-def _average_precision(scores, tp, ignored, n_gt, n_points: int = 11) -> float:
+def _average_precision(
+    scores, tp, ignored, n_gt, n_points: int = 11, sim=None
+) -> float:
+    """11/40-point interpolated AP; with ``sim`` per-detection orientation
+    similarities, the precision curve becomes the devkit's AOS curve
+    (cumulative similarity over detections instead of cumulative TP count),
+    so the same interpolation yields Average Orientation Similarity."""
+
     if n_gt == 0 or len(scores) == 0:
         return 0.0
     keep = ~ignored
@@ -248,7 +264,11 @@ def _average_precision(scores, tp, ignored, n_gt, n_points: int = 11) -> float:
     cum_tp = np.cumsum(tp)
     cum_fp = np.cumsum(~tp)
     recall = cum_tp / n_gt
-    precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
+    if sim is not None:
+        cum_val = np.cumsum(sim[keep][order])
+    else:
+        cum_val = cum_tp
+    precision = cum_val / np.maximum(cum_tp + cum_fp, 1)
     ap = 0.0
     # recall points as k/N divisions, NOT linspace: linspace(0,1,11)[6] is
     # 0.6000000000000001 while 3/5 recall is 0.5999999999999999..., which
@@ -268,18 +288,29 @@ def evaluate_frames(
     classes: Sequence[str],
     n_points: int = 11,
 ) -> Dict[str, Dict[str, Dict[str, float]]]:
-    """-> {class: {metric: {difficulty: AP}}} with metric in 2d/bev/3d."""
+    """-> {class: {metric: {difficulty: AP}}} with metric in 2d/bev/3d/aos.
+
+    ``aos`` is the devkit's Average Orientation Similarity: computed on the
+    2D image-plane matching with each TP weighted by (1 + cos(dalpha)) / 2,
+    so AOS <= AP_2d always, with equality iff every matched heading is exact.
+    """
 
     out: Dict[str, Dict[str, Dict[str, float]]] = {}
     for cls in classes:
         out[cls] = {}
         for metric in ("2d", "bev", "3d"):
             out[cls][metric] = {}
+            if metric == "2d":
+                out[cls]["aos"] = {}
             for dname, diff in DIFFICULTIES.items():
-                scores, tp, ign, n_gt = _pr_curve(frames, cls, diff, metric)
+                scores, tp, ign, sim, n_gt = _pr_curve(frames, cls, diff, metric)
                 out[cls][metric][dname] = _average_precision(
                     scores, tp, ign, n_gt, n_points
                 )
+                if metric == "2d":
+                    out[cls]["aos"][dname] = _average_precision(
+                        scores, tp, ign, n_gt, n_points, sim=sim
+                    )
     return out
 
 

@@ -274,3 +274,83 @@ def test_bucketed_batch_device_parity():
 
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+# ------------------------------------------------------- hard synthetic scenes
+
+def test_hard_scene_populates_difficulty_bands(tmp_path):
+    """The sharpened quality oracle (round-3 verdict item 1) needs synthetic
+    scenes whose GT spreads over easy/moderate/hard: occlusion levels 1-2,
+    truncation > 0.15, and sub-40 px boxes must all actually occur."""
+
+    from sparse_pooling_tpu.data import synthetic
+    from sparse_pooling_tpu.runtime.metrics import DIFFICULTIES
+
+    root = tmp_path / "hard"
+    synthetic.write_kitti_tree(
+        str(root), num_frames=6, n_ground=4096, n_obj=1024,
+        val_frames=(4, 5), scene="cars_hard",
+    )
+    strict = {k: 0 for k in DIFFICULTIES}
+    occs, truncs, heights = [], [], []
+    for i in range(6):
+        lbs = labels.read_labels(
+            str(root / "training" / "label_2" / f"{i:06d}.txt")
+        )
+        assert len(lbs) >= 6  # busy scenes
+        for lb in lbs:
+            if lb.type != "Car":
+                continue
+            occs.append(lb.occlusion)
+            truncs.append(lb.truncation)
+            heights.append(lb.y2 - lb.y1)
+            for name, (mh, mo, mt) in DIFFICULTIES.items():
+                if (lb.y2 - lb.y1) >= mh and lb.occlusion <= mo and lb.truncation <= mt:
+                    strict[name] += 1
+    assert strict["easy"] >= 3
+    assert strict["moderate"] > strict["easy"]  # mod-only objects exist
+    assert strict["hard"] > strict["moderate"]  # hard-only objects exist
+    assert max(occs) == 2 and 1 in occs
+    assert max(truncs) > 0.15
+    assert min(heights) < 40.0
+
+
+def test_hard_scene_occluded_objects_lose_points():
+    """Shadowing must actually remove LiDAR returns: an occluded object's
+    point count should be well below an unoccluded twin at the same range."""
+
+    from sparse_pooling_tpu.data import synthetic
+
+    velo, lbs, _ = synthetic.make_frame(
+        3, n_ground=4096, n_obj=2048, scene="cars_hard"
+    )
+    assert velo.shape[1] == 4
+    assert len(velo) > 4096  # objects contributed points
+    # frame is deterministic
+    velo2, lbs2, _ = synthetic.make_frame(
+        3, n_ground=4096, n_obj=2048, scene="cars_hard"
+    )
+    np.testing.assert_array_equal(velo, velo2)
+    assert lbs == lbs2
+
+
+def test_hard_scene_dataset_loads(tmp_path):
+    """The full KittiDataset pipeline consumes a hard tree end to end."""
+
+    from sparse_pooling_tpu.configs.presets import preset as preset_fn
+    import dataclasses
+
+    from sparse_pooling_tpu.data import synthetic
+    from sparse_pooling_tpu.data.dataset import KittiDataset
+
+    root = tmp_path / "hardds"
+    synthetic.write_kitti_tree(
+        str(root), num_frames=2, n_ground=2048, n_obj=256,
+        val_frames=(1,), scene="people_hard",
+    )
+    cfg = preset_fn("unittest")
+    ds_cfg = dataclasses.replace(cfg.dataset, root=str(root), split="train")
+    ds = KittiDataset(ds_cfg, cfg.model)
+    s = ds.load_sample(ds.sample_ids[0])
+    assert s.points.shape[1] == 3
+    assert int(s.gt_valid.sum()) >= 1

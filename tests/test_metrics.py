@@ -160,6 +160,57 @@ def test_ap_localization_threshold():
     assert res["Car"]["bev"]["moderate"] == 0.0
 
 
+# ---------------------------------------------------------------- AOS
+
+def test_aos_perfect_headings_equals_ap2d():
+    """Exact alpha on every TP -> AOS == AP_2d (similarity 1 per match)."""
+
+    res = M.evaluate_frames(_frames_perfect(), ["Car"])
+    for diff in ("easy", "moderate", "hard"):
+        assert res["Car"]["aos"][diff] == pytest.approx(
+            res["Car"]["2d"][diff], abs=1e-12
+        )
+
+
+def test_aos_collapses_on_flipped_headings_while_3d_holds():
+    """THE bite test (VERDICT round-3 item 4): a detector predicting every
+    heading reversed (alpha + pi, ry + pi) keeps identical 2D/BEV/3D AP —
+    the box footprint is pi-symmetric — but its AOS must collapse to ~0."""
+
+    frames = []
+    for fr in _frames_perfect():
+        det = [
+            ObjectLabel(**{
+                **d.__dict__,
+                "alpha": d.alpha + np.pi,
+                "ry": d.ry + np.pi,
+            })
+            for d in fr.det
+        ]
+        frames.append(M.FrameData(gt=fr.gt, det=det))
+    res = M.evaluate_frames(frames, ["Car"])
+    for metric in ("2d", "bev", "3d"):
+        assert res["Car"][metric]["moderate"] == pytest.approx(1.0, abs=1e-6)
+    assert res["Car"]["aos"]["moderate"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_aos_partial_heading_error():
+    """A 90-degree alpha error on every TP gives similarity 0.5 per match,
+    so AOS = 0.5 * AP_2d exactly (single-frame perfect matching)."""
+
+    frames = []
+    for fr in _frames_perfect():
+        det = [
+            ObjectLabel(**{**d.__dict__, "alpha": d.alpha + np.pi / 2})
+            for d in fr.det
+        ]
+        frames.append(M.FrameData(gt=fr.gt, det=det))
+    res = M.evaluate_frames(frames, ["Car"])
+    assert res["Car"]["aos"]["moderate"] == pytest.approx(
+        0.5 * res["Car"]["2d"]["moderate"], abs=1e-9
+    )
+
+
 def test_evaluate_dirs_round_trip(tmp_path):
     from sparse_pooling_tpu.data.labels import write_labels
 

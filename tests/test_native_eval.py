@@ -35,10 +35,11 @@ def label_dirs(tmp_path_factory):
             y2 = y1 + rng.uniform(15, 120)
             x1 = rng.uniform(0, 1000)
             x2 = x1 + rng.uniform(20, 200)
+            alpha = float(rng.uniform(-np.pi, np.pi))
             gts.append(
                 ObjectLabel(
-                    cls, float(rng.uniform(0, 0.6)), int(rng.randint(0, 3)), 0.0,
-                    x1, y1, x2, y2, h, w, l, (x, 1.65, z), ry,
+                    cls, float(rng.uniform(0, 0.6)), int(rng.randint(0, 3)),
+                    alpha, x1, y1, x2, y2, h, w, l, (x, 1.65, z), ry,
                 )
             )
             if rng.rand() < 0.8:
@@ -50,7 +51,7 @@ def label_dirs(tmp_path_factory):
                 )
                 dets.append(
                     ObjectLabel(
-                        det_cls, 0, 0, 0.0,
+                        det_cls, 0, 0, alpha + float(rng.normal(0, 0.5)),
                         x1 + rng.normal(0, 5), y1 + rng.normal(0, 5),
                         x2 + rng.normal(0, 5), y2 + rng.normal(0, 5),
                         h + n[0] * 0.1, w + n[1] * 0.1, l + n[2] * 0.1,
@@ -71,11 +72,13 @@ def test_cpp_matches_numpy_oracle(label_dirs, n_points):
     py = M.evaluate_dirs(gt_dir, det_dir, classes, n_points)
     cc = K.evaluate_dirs(gt_dir, det_dir, classes, n_points)
     for cls in classes:
-        for metric in ("2d", "bev", "3d"):
+        for metric in ("2d", "bev", "3d", "aos"):
             for diff in ("easy", "moderate", "hard"):
                 assert cc[cls][metric][diff] == pytest.approx(
                     py[cls][metric][diff], abs=1e-12
                 ), (cls, metric, diff)
+            # AOS is similarity-weighted 2D AP, so it can never exceed it
+            assert cc[cls]["aos"][diff] <= cc[cls]["2d"][diff] + 1e-12
 
 
 def test_cli_binary(label_dirs):
@@ -88,4 +91,5 @@ def test_cli_binary(label_dirs):
     )
     assert out.returncode == 0
     assert "Car AP_3d:" in out.stdout
+    assert "Car AP_aos:" in out.stdout
     assert "evaluated 15 frames" in out.stdout
