@@ -118,20 +118,52 @@ class KittiDataset:
         # overlap the consumer on a 1-core host; PIL twin as fallback
         img_path = self._path("image_2", sid, ".png")
         canvas = None
-        if mc.image.device_resize and native_loader.available():
+        img = None
+        # decode-once cache (round-3 verdict item 6): a repeated checkpoint
+        # sweep re-decodes the same val PNGs once PER CHECKPOINT (~3.5
+        # ms/frame of the 14.4 ms/frame host budget on the 1-core sweep
+        # host); with dataset.image_cache_dir set, the decoded raw image is
+        # persisted as .npy on first touch and mmap-copied afterwards
+        # (~0.3 ms/frame).
+        cache_path = None
+        if self.cfg.image_cache_dir:
+            cache_path = os.path.join(self.cfg.image_cache_dir, sid + ".npy")
+            if os.path.exists(cache_path):
+                cached = np.load(cache_path, mmap_mode="r")
+                raw_hw = cached.shape[:2]
+                if (
+                    image_out is not None
+                    and mc.image.device_resize
+                    and raw_hw[0] <= mc.image.height
+                    and raw_hw[1] <= mc.image.width
+                ):
+                    image_out[: raw_hw[0], : raw_hw[1]] = cached
+                    canvas = image_out
+                    img = canvas[: raw_hw[0], : raw_hw[1]]
+                else:
+                    img = np.array(cached)
+                cache_path = None  # hit: nothing to write back
+        if img is None and mc.image.device_resize and native_loader.available():
             res = native_loader.decode_png_canvas(
                 img_path, mc.image.height, mc.image.width, out=image_out
             )
             if res is not None:
                 canvas, raw_hw = res
                 img = canvas[: raw_hw[0], : raw_hw[1]]
-        if canvas is None:
+        if img is None:
             # .convert("RGB") on an already-RGB image is a 3.6 ms copy
             img_pil = Image.open(img_path)
             if img_pil.mode != "RGB":
                 img_pil = img_pil.convert("RGB")
             img = np.asarray(img_pil)
             raw_hw = img.shape[:2]
+        if cache_path is not None:
+            # write-once, atomic (loader threads race on the same frame)
+            os.makedirs(self.cfg.image_cache_dir, exist_ok=True)
+            tmp = cache_path + f".tmp{os.getpid()}.npy"
+            with open(tmp, "wb") as f:
+                np.save(f, np.ascontiguousarray(img))
+            os.replace(tmp, cache_path)
         pts = None
         if native_loader.available():
             pts = native_loader.load_points(

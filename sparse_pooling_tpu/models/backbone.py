@@ -163,6 +163,13 @@ class VggPyramidExtractor(nn.Module):
 
         if self.space_to_depth and not pre_packed:
             b0, h, w, c = x.shape
+            if h % 2 or w % 2:
+                raise ValueError(
+                    f"space_to_depth needs even input dims, got {h}x{w}: "
+                    "raise bev.pad_h (or disable backbone.space_to_depth) "
+                    "for odd lattices — the 2x2 channel pack cannot split "
+                    "an odd row/column"
+                )
             x = x.reshape(b0, h // 2, 2, w // 2, 2, c).transpose(
                 0, 1, 3, 2, 4, 5
             ).reshape(b0, h // 2, w // 2, 4 * c)

@@ -224,12 +224,10 @@ class SparsePoolingDetector(nn.Module):
         # bev_input arrives either full-res [B, Hb, Wb, slices+1] or
         # pre-packed space-to-depth [B, Hb/2, Wb/2, 4*(slices+1)] (the
         # voxelizer scatters straight into the packed layout when the
-        # backbone would repack anyway — bev_device.bev_maps_packed_batch)
-        bev_pre_packed = (
-            inputs["bev_input"].shape[-1] != c.bev.height_slices + 1
-        )
+        # backbone would repack anyway — bev_device.bev_maps_packed_batch).
+        # The builder says which explicitly (bev_pre_packed).
         bev_mid, bev_skips = self.bev_extractor.encode(
-            inputs["bev_input"], pre_packed=bev_pre_packed
+            inputs["bev_input"], pre_packed=inputs["bev_pre_packed"]
         )
         img_mid, img_skips = self.img_extractor.encode(inputs["image"])
 

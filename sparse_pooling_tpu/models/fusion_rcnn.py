@@ -143,11 +143,10 @@ class FusionRcnn(nn.Module):
         img_hw = (c.image.height, c.image.width)
 
         # bev_input may arrive pre-packed in space-to-depth layout (see
-        # models.detector / bev_device.bev_maps_packed_batch)
+        # models.detector / bev_device.bev_maps_packed_batch); the builder
+        # passes the explicit static flag
         bev_mid, bev_skips = self.bev_extractor.encode(
-            inputs["bev_input"],
-            pre_packed=inputs["bev_input"].shape[-1]
-            != c.bev.height_slices + 1,
+            inputs["bev_input"], pre_packed=inputs["bev_pre_packed"]
         )
         img_mid, img_skips = self.img_extractor.encode(inputs["image"])
         bev_mid_f = self.bev_fusion(bev_mid, img_mid, inputs["m_bev"])

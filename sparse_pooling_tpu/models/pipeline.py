@@ -149,6 +149,10 @@ def build_model_inputs_batch(
     # anyway: the full-res [B, H+pad, W, 6] raster then never exists
     # (~15 ms/iter of layout copies at batch 48 — see
     # bev_device.bev_maps_packed_batch). Bit-identical model inputs.
+    # NOTE: the odd-dim fallback below serves s2d-OFF configs only; with
+    # space_to_depth=True an odd padded lattice fails fast in
+    # VggPyramidExtractor.encode with a config hint (round-3 advisor #2 —
+    # the unpacked builder cannot make odd dims s2d-packable either).
     use_packed = cfg.backbone.space_to_depth and hp % 2 == 0 and w % 2 == 0
     if use_packed:
         bev_input, bev_counts_s2d = bev_device.bev_maps_packed_batch(
@@ -239,6 +243,10 @@ def build_model_inputs_batch(
 
     return {
         "bev_input": bev_input,
+        # explicit static flag, NOT inferable from the channel count: a
+        # future bev_input variant with extra channels (e.g. intensity)
+        # would fool any shape-sniffing consumer (round-3 advisor #1)
+        "bev_pre_packed": use_packed,
         "image": image,
         "m_bev": m_bev,
         "m_fv": m_fv,

@@ -354,3 +354,48 @@ def test_hard_scene_dataset_loads(tmp_path):
     s = ds.load_sample(ds.sample_ids[0])
     assert s.points.shape[1] == 3
     assert int(s.gt_valid.sum()) >= 1
+
+
+def test_decoded_image_cache_round_trip(tmp_path):
+    """dataset.image_cache_dir: first load decodes + persists, second load
+    mmap-copies — both must produce identical HostSamples (incl. the
+    zero-copy image_out canvas path the eval sweep uses)."""
+
+    import dataclasses
+
+    from sparse_pooling_tpu.configs.presets import preset as preset_fn
+    from sparse_pooling_tpu.data import synthetic
+    from sparse_pooling_tpu.data.dataset import KittiDataset
+
+    root = tmp_path / "ds"
+    synthetic.write_kitti_tree(
+        str(root), num_frames=2, n_ground=1024, n_obj=128, val_frames=(1,)
+    )
+    cfg = preset_fn("unittest")
+    cache = tmp_path / "imgcache"
+    ds_plain = KittiDataset(
+        dataclasses.replace(cfg.dataset, root=str(root), split="train"),
+        cfg.model,
+    )
+    ds_cached = KittiDataset(
+        dataclasses.replace(
+            cfg.dataset, root=str(root), split="train",
+            image_cache_dir=str(cache),
+        ),
+        cfg.model,
+    )
+    sid = ds_plain.sample_ids[0]
+    want = ds_plain.load_sample(sid)
+    got_first = ds_cached.load_sample(sid)  # decode + write-back
+    assert (cache / f"{sid}.npy").exists()
+    got_cached = ds_cached.load_sample(sid)  # mmap hit
+    np.testing.assert_array_equal(got_first.image, want.image)
+    np.testing.assert_array_equal(got_cached.image, want.image)
+    np.testing.assert_array_equal(got_cached.points, want.points)
+
+    # zero-copy canvas path (eval sweep): image_out is filled in place
+    h, w = cfg.model.image.height, cfg.model.image.width
+    out = np.zeros((h, w, 3), np.uint8)
+    got_canvas = ds_cached.load_sample(sid, image_out=out)
+    assert got_canvas.image is out
+    np.testing.assert_array_equal(out, want.image)

@@ -118,18 +118,36 @@ def main():
         and e.get("name") == "process_name"
         and "TPU" in str(e.get("args", {}).get("name", ""))
     }
-    agg = {}
-    total = 0.0
+    # Group X events by device lane and mark PARENT events structurally:
+    # any event whose interval contains another event on the same lane
+    # spans child op events (the module-level "jit_step(<fingerprint>)"
+    # run event — or a pmap_/renamed equivalent) and would double-count
+    # the whole device time (observed 2026-08-20: reported total was
+    # exactly 2x real). Containment, not a name pattern (round-3 advisor
+    # finding #3: a differently-named top-level executable slipped the
+    # old `jit_`-prefix check).
+    lanes = {}
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
-            name = e.get("name", "?")
-            # Skip the module-level parent event (one per executable run,
-            # e.g. "jit_step(<fingerprint>)"): it SPANS the child op events
-            # on the same lane, so counting it double-counts the whole
-            # device time (observed 2026-08-20: reported total was exactly
-            # 2x the real per-iter time).
-            if name.startswith("jit_") and "(" in name:
+            lanes.setdefault((e["pid"], e.get("tid")), []).append(e)
+    parents = set()
+    for lane in lanes.values():
+        lane.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack = []
+        for e in lane:
+            while stack and stack[-1]["ts"] + stack[-1]["dur"] <= e["ts"]:
+                stack.pop()
+            if stack:  # e nests inside stack[-1] -> that event is a parent
+                parents.add(id(stack[-1]))
+            stack.append(e)
+
+    agg = {}
+    total = 0.0
+    for lane in lanes.values():
+        for e in lane:
+            if id(e) in parents:
                 continue
+            name = e.get("name", "?")
             row = agg.setdefault(name, [0, 0.0, "", ""])
             row[0] += 1
             row[1] += e["dur"]
