@@ -121,6 +121,13 @@ class SparsePoolConfig:
     # top-K sources per target cell (renormalized) — an approximation that
     # cuts host->device transfer ~10x; K below.
     method: str = "coo"
+    # dtype the pooling's fused segment-sum ACCUMULATES in. "bfloat16"
+    # halves the scatter-accumulator HBM traffic (the pooling's dominant
+    # byte stream); per-cell entry counts are small so the accumulation
+    # error is ~1e-2 relative, and the custom-VJP backward is unchanged
+    # (grads bit-identical). Certify AP via the hard-scene 40-pt checks
+    # before flipping a preset default.
+    accum_dtype: str = "float32"
     ell_k: int = 8  # max source contributions kept per target cell (ELL only)
     max_points: int = 32768  # host pads/filters point cloud to this cap
     normalize: bool = True  # row-normalize pooled features by total weight

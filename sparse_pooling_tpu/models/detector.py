@@ -181,9 +181,14 @@ class SparsePoolingDetector(nn.Module):
         )
         mid_ch = c.backbone.channels[-1]
         pc = c.sparse_pool.pool_channels
-        self.bev_fusion = SparsePoolFusion(mid_ch, dt, pool_channels=pc)
+        ad = c.sparse_pool.accum_dtype
+        self.bev_fusion = SparsePoolFusion(
+            mid_ch, dt, pool_channels=pc, accum_dtype=ad
+        )
         if c.sparse_pool.bev_to_img:
-            self.img_fusion = SparsePoolFusion(mid_ch, dt, pool_channels=pc)
+            self.img_fusion = SparsePoolFusion(
+            mid_ch, dt, pool_channels=pc, accum_dtype=ad
+        )
         if c.rpn.roi_channels:
             if c.rpn.bev_roi_stride > 1:
                 self.bev_roi_proj = nn.Conv(

@@ -34,6 +34,7 @@ class SparsePoolFusion(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.bfloat16
     pool_channels: int = 0
+    accum_dtype: str = "float32"  # SparsePoolConfig.accum_dtype
 
     @nn.compact
     def __call__(self, native: jnp.ndarray, source: jnp.ndarray, coo: DeviceCoo):
@@ -63,6 +64,7 @@ class SparsePoolFusion(nn.Module):
         pooled = sparse_pool_patch_major_batch(
             src, coo.rows, coo.cols, coo.vals, num_targets=ht * wt,
             divide_by_weight_sum=coo.defer_row_norm,
+            accum_dtype=self.accum_dtype,
         )
         pooled_map = pooled.reshape(b, ht, wt, -1).astype(self.dtype)
         x = jnp.concatenate([native.astype(self.dtype), pooled_map], axis=-1)

@@ -122,8 +122,13 @@ class FusionRcnn(nn.Module):
         )
         mid_ch = c.backbone.channels[-1]
         pc = c.sparse_pool.pool_channels
-        self.bev_fusion = SparsePoolFusion(mid_ch, dt, pool_channels=pc)
-        self.img_fusion = SparsePoolFusion(mid_ch, dt, pool_channels=pc)
+        ad = c.sparse_pool.accum_dtype
+        self.bev_fusion = SparsePoolFusion(
+            mid_ch, dt, pool_channels=pc, accum_dtype=ad
+        )
+        self.img_fusion = SparsePoolFusion(
+            mid_ch, dt, pool_channels=pc, accum_dtype=ad
+        )
         self.rpn_head = ConvRpnHead(
             c.rpn.fusion_channels,
             len(c.anchors.rotations) * len(c.anchors.sizes), dt,

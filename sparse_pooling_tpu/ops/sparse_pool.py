@@ -151,7 +151,7 @@ def _gather_point_patches(src_map, cols):
 
 
 @functools.cache
-def _patch_pool_denom_with_vjp(num_targets: int):
+def _patch_pool_denom_with_vjp(num_targets: int, accum_dtype: str = "float32"):
     """Patch pooling that ALSO returns the per-target weight sum, fused
     into the SAME segment_sum as channel C+1.
 
@@ -166,11 +166,18 @@ def _patch_pool_denom_with_vjp(num_targets: int):
     cotangent term.
     """
 
+    # accum_dtype "bfloat16" halves the segment-sum accumulator traffic
+    # (the [B*T, C+1] scatter accumulator is the pooling's dominant byte
+    # stream); per-cell entry counts are small (<= a few dozen points), so
+    # the bf16 accumulation error stays ~1e-2 relative — gate via
+    # SparsePoolConfig.accum_dtype and certify AP before adopting.
+    acc = jnp.dtype(accum_dtype)
+
     def impl(src_map, rows, cols, vals):
         b, _, _, c = src_map.shape
         patches = _gather_point_patches(src_map, cols)
-        g = jnp.sum(patches.astype(jnp.float32) * vals[..., None], axis=2)
-        wsum = jnp.sum(vals, axis=-1, keepdims=True).astype(jnp.float32)
+        g = jnp.sum(patches.astype(acc) * vals[..., None].astype(acc), axis=2)
+        wsum = jnp.sum(vals, axis=-1, keepdims=True).astype(acc)
         e = jnp.concatenate([g, wsum], axis=-1)  # [B, P, C+1]
         row_off = (jnp.arange(b, dtype=rows.dtype) * num_targets)[:, None]
         flat = jax.ops.segment_sum(
@@ -277,6 +284,7 @@ def sparse_pool_patch_major_batch(
     vals: jnp.ndarray,  # [B, P, 4] f32 weights (0 on padding)
     num_targets: int,
     divide_by_weight_sum: bool = False,
+    accum_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Point-major pooling with ONE 2x2-window gather descriptor per point.
 
@@ -309,10 +317,12 @@ def sparse_pool_patch_major_batch(
     """
 
     if divide_by_weight_sum:
-        out, den = _patch_pool_denom_with_vjp(int(num_targets))(
+        out, den = _patch_pool_denom_with_vjp(int(num_targets), accum_dtype)(
             src_map, rows, cols, vals
         )
-        denom = den[..., None]
+        # quotient in f32 regardless of the accumulator dtype
+        denom = den[..., None].astype(jnp.float32)
+        out = out.astype(jnp.float32)
         return jnp.where(denom > 1e-12, out / jnp.maximum(denom, 1e-12), 0.0)
     return _patch_pool_with_vjp(int(num_targets))(src_map, rows, cols, vals)
 

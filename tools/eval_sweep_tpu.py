@@ -32,6 +32,18 @@ def main():
     ap.add_argument("--reuse", action="store_true")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--device", default=None)
+    ap.add_argument(
+        "--image_cache", default=None,
+        help="decoded-image cache dir (dataset.image_cache_dir): the val "
+        "set is fixed, so production sweeps decode each PNG once ever; "
+        "pass a dir to use/build it (first pass pays decode + write)",
+    )
+    ap.add_argument("--inflight", type=int, default=None,
+                    help="override eval.inflight_batches")
+    ap.add_argument("--readback_group", type=int, default=None,
+                    help="override eval.readback_group")
+    ap.add_argument("--workers", type=int, default=None,
+                    help="override eval.num_workers")
     args = ap.parse_args()
 
     if args.device:
@@ -89,11 +101,23 @@ def main():
           f"(upload-bound fps ceiling ~{up_mbs / 1.64:.0f})")
 
     cfg = cars_pyramid_config()
+    eval_cfg = dataclasses.replace(cfg.eval, batch_size=args.batch)
+    if args.inflight is not None:
+        eval_cfg = dataclasses.replace(eval_cfg, inflight_batches=args.inflight)
+    if args.readback_group is not None:
+        eval_cfg = dataclasses.replace(
+            eval_cfg, readback_group=args.readback_group
+        )
+    if args.workers is not None:
+        eval_cfg = dataclasses.replace(eval_cfg, num_workers=args.workers)
     cfg = dataclasses.replace(
         cfg,
         experiments_dir=args.workdir,
-        dataset=dataclasses.replace(cfg.dataset, root=args.root, split="val"),
-        eval=dataclasses.replace(cfg.eval, batch_size=args.batch),
+        dataset=dataclasses.replace(
+            cfg.dataset, root=args.root, split="val",
+            image_cache_dir=args.image_cache or "",
+        ),
+        eval=eval_cfg,
     )
     os.makedirs(args.workdir, exist_ok=True)
 
