@@ -36,6 +36,11 @@ def main(argv=None):
         "which caps BEV localization AP",
     )
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument(
+        "--scene", default="people", choices=("people", "people_hard"),
+        help="people_hard adds occlusion/truncation tiers + clutter",
+    )
+    p.add_argument("--ap_points", type=int, default=40)
     args = p.parse_args(argv)
 
     import jax
@@ -65,7 +70,7 @@ def main(argv=None):
     n_total = args.train_frames + args.val_frames
     synthetic.write_kitti_tree(
         root, num_frames=n_total, n_ground=1024, n_obj=192,
-        val_frames=tuple(range(args.train_frames, n_total)), scene="people",
+        val_frames=tuple(range(args.train_frames, n_total)), scene=args.scene,
     )
 
     from sparse_pooling_tpu.configs.config import BevConfig, ImageConfig
@@ -102,7 +107,10 @@ def main(argv=None):
                 initial_lr=args.lr, decay_steps=args.steps // 2, decay_rate=0.5
             ),
         ),
-        eval=EvalConfig(kitti_score_threshold=0.05, batch_size=2),
+        eval=EvalConfig(
+            kitti_score_threshold=0.05, batch_size=2,
+            ap_n_points=args.ap_points,
+        ),
         dataset=dataclasses.replace(
             base.dataset, split="train", aug_flip=True, aug_pca_jitter=False,
             shuffle=True,
