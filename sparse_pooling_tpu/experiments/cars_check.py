@@ -127,6 +127,12 @@ def main(argv=None):
         "--no_heading_audit", action="store_true",
         help="skip the final heading-flip AOS audit",
     )
+    p.add_argument(
+        "--seed", type=int, default=0,
+        help="dataset shuffle/augment seed — rerun with a different value "
+        "on the SAME config to measure run-to-run AP noise (the graph is "
+        "unchanged, so the rerun rides the compile cache)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -198,9 +204,13 @@ def main(argv=None):
         ),
         dataset=dataclasses.replace(
             base.dataset, root=root, split="train", aug_flip=True,
-            aug_pca_jitter=False, shuffle=True,
+            aug_pca_jitter=False, shuffle=True, seed=args.seed,
         ),
     )
+    if args.seed:
+        cfg = dataclasses.replace(
+            cfg, checkpoint_name=cfg.checkpoint_name + f"_seed{args.seed}"
+        )
 
     print(
         f"[cars_check] workdir {workdir} preset={args.preset} "
