@@ -47,28 +47,32 @@ def cars_pyramid_config() -> PipelineConfig:
             # overflow (tests); under overflow both paths keep the
             # densest-count tiers first, so objects survive either way.
             # Overflow IS the common case at this lattice (~950 nonempty
-            # Q4-blocks vs the 512-block cap), and its AP cost was measured
-            # at the production 0.1 m lattice on TPU (experiments/
-            # cars_check.py, 2000 steps, held-out val): Q=4 moderate Car AP
-            # 0.909/0.909/0.909 (2D/BEV/3D) vs Q=1 0.909/0.909/0.900 —
-            # no degradation, so Q=4 stays the default.
+            # Q4-blocks vs the 512-block cap). Round-3 check: Q=4
+            # 0.909/0.909/0.909 vs Q=1 0.909/0.909/0.900 (11-pt ceiling).
+            # Round-4 RE-certification under the sharpened oracle
+            # (cars_hard, 40-pt): Q=4 vs Q=1 deltas ~±0.05 in both
+            # directions, inside the measured ±0.06 seed noise, and a
+            # mechanism check shows the block cap drops NO anchors within
+            # 1 m of counted GT (25/26 covered both modes; the 1 miss is
+            # outside every scoring band) — Q=4 stays the default.
             rpn=RpnConfig(roi_quad=4),
-            # Stage-2 patch-einsum ROI, BEV view only: one window per
-            # proposal from the stride-4 pooled map (sampling stays exact
-            # for car spans: diag 5.5 m = 13.75 pooled cells <= patch-2),
-            # measured 1.02 -> 0.65 ms/frame (tools/profile_stages.py).
-            # Held-out production-lattice AP holds: 0.902/0.902/0.902 vs
-            # 0.909 baseline (run noise on 16 val frames). The IMAGE view
-            # stays reference-exact: striding it too cost moderate BEV/3D
-            # AP 0.909 -> 0.791 at stride 4 (near-range boxes span far more
-            # than the window, so 7x7 sampling collapsed to a 16-cell
-            # context crop); stride 2 measured 0.895/0.895/0.895 vs 0.909
-            # for only a 0.25 ms/frame win (0.67 -> 0.42 at batch 32,
-            # ~+3.6 fps e2e) — borderline-noise AP for a small win, left
-            # OFF: the flagship default keeps reference-exact image
-            # sampling. A/B via cars_check --s2_bev_stride/--s2_img_stride.
+            # Stage 2 samples BOTH views reference-exact (stride 1).
+            # History: round 3 shipped bev_roi_stride=4 (patch-einsum ROI,
+            # 1.02 -> 0.65 ms/frame) certified by a check pinned at the
+            # 11-point ceiling ("0.902 vs 0.909 — run noise"). Round 4's
+            # SHARPENED oracle (cars_hard scenes, 40-pt, per-band)
+            # re-decided it: exact crops score 3D moderate 0.979/0.972
+            # across two seeds vs 0.890/0.953 strided — consistently
+            # higher AND 10x lower seed variance (strided's block-shared
+            # window degrades hard-band localization). The ~0.4 ms/frame
+            # cost is the right trade for the flagship default; stride 4
+            # remains available via avod.bev_roi_stride for
+            # throughput-first deployments (A/B: cars_check
+            # --s2_bev_stride). The IMAGE view was already exact: striding
+            # it cost 0.909 -> 0.791 moderate BEV/3D at stride 4 (near
+            # boxes collapse to a 16-cell context crop).
             avod=AvodStage2Config(
-                bev_roi_stride=4, img_roi_stride=1, roi_patch=16
+                bev_roi_stride=1, img_roi_stride=1, roi_patch=16
             ),
         ),
     )

@@ -132,6 +132,24 @@ def main():
         src_map, rows, cols_w, vals,
     )
 
+    run(
+        "patch_denom_f32",
+        lambda m_, r_, c_, v_: sp.sparse_pool_patch_major_batch(
+            m_, r_, c_, v_, num_targets=t, divide_by_weight_sum=True,
+            accum_dtype="float32",
+        ),
+        src_map, rows, cols_w, vals,
+    )
+    run(
+        "patch_denom_bf16",
+        lambda m_, r_, c_, v_: sp.sparse_pool_patch_major_batch(
+            m_, r_, c_, v_, num_targets=t, divide_by_weight_sum=True,
+            accum_dtype="bfloat16",
+        ),
+        src_map, rows, cols_w, vals,
+    )
+
+
 
 if __name__ == "__main__":
     main()
