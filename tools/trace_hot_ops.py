@@ -118,18 +118,30 @@ def main():
         and e.get("name") == "process_name"
         and "TPU" in str(e.get("args", {}).get("name", ""))
     }
-    # Group X events by device lane and mark PARENT events structurally:
-    # any event whose interval contains another event on the same lane
-    # spans child op events (the module-level "jit_step(<fingerprint>)"
-    # run event — or a pmap_/renamed equivalent) and would double-count
-    # the whole device time (observed 2026-08-20: reported total was
-    # exactly 2x real). Containment, not a name pattern (round-3 advisor
-    # finding #3: a differently-named top-level executable slipped the
-    # old `jit_`-prefix check).
+    # Aggregate op events only from "XLA Ops" device lanes. The
+    # module-level executable event ("jit_step(<fingerprint>)" — or any
+    # renamed/pmap equivalent) lives on its own "XLA Modules" lane and
+    # spans the whole iteration, so counting it doubles the device total
+    # (observed 2026-08-20). Lane NAMES come from the trace's thread_name
+    # metadata — structural, not an executable-name pattern (round-3
+    # advisor finding #3). Containment below is a second guard for any
+    # parent-style event that still shares the op lane.
+    lane_names = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            lane_names[(e["pid"], e.get("tid"))] = str(
+                e.get("args", {}).get("name", "")
+            )
     lanes = {}
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
-            lanes.setdefault((e["pid"], e.get("tid")), []).append(e)
+            key = (e["pid"], e.get("tid"))
+            lname = lane_names.get(key, "")
+            # keep unnamed lanes (older trace formats) for the containment
+            # pass; drop known non-op lanes
+            if lname and "XLA Ops" not in lname:
+                continue
+            lanes.setdefault(key, []).append(e)
     parents = set()
     for lane in lanes.values():
         lane.sort(key=lambda e: (e["ts"], -e["dur"]))
