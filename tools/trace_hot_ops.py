@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--train", action="store_true")
+    ap.add_argument(
+        "--remat", action="store_true",
+        help="backbone.remat=True (with --train): trace the remat backward\n        to localize the batch-32 superlinear anomaly",
+    )
     args = ap.parse_args()
 
     import jax
@@ -55,6 +59,12 @@ def main():
 
     b = args.batch
     cfg = preset(args.preset).model
+    if args.remat:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone, remat=True)
+        )
     ext = AreaExtents()
     model = pl.make_model(cfg, ext)
     anchors_static = jnp.array(pl.static_anchor_grid(cfg, ext))
@@ -83,6 +93,16 @@ def main():
         )
 
         pipe = preset_fn(args.preset)
+        if args.remat:
+            import dataclasses
+
+            pipe = dataclasses.replace(
+                pipe, model=dataclasses.replace(
+                    pipe.model, backbone=dataclasses.replace(
+                        pipe.model.backbone, remat=True
+                    )
+                )
+            )
         tx = build_optimizer(pipe)
         opt_state = jax.jit(tx.init)(params)
         train_step = make_train_step(model, tx, anchors_static, pipe, ext)
