@@ -128,6 +128,12 @@ def main(argv=None):
         help="skip the final heading-flip AOS audit",
     )
     p.add_argument(
+        "--ang_weight", type=float, default=None,
+        help="override avod.loss_ang_weight (AOS is the weakest head at "
+        "check scale: 0.768 mod at best ckpt vs 0.995 2D AP — A/B the "
+        "orientation loss share here)",
+    )
+    p.add_argument(
         "--seed", type=int, default=0,
         help="dataset shuffle/augment seed — rerun with a different value "
         "on the SAME config to measure run-to-run AP noise (the graph is "
@@ -172,7 +178,12 @@ def main(argv=None):
                 model.anchors, max_anchors=args.max_anchors
             ),
         )
-    s2_tag = ""
+    if args.ang_weight is not None:
+        model = dataclasses.replace(
+            model,
+            avod=dataclasses.replace(model.avod, loss_ang_weight=args.ang_weight),
+        )
+    s2_tag = "" if args.ang_weight is None else f"_ang{args.ang_weight:g}"
     if args.s2_bev_stride is not None or args.s2_img_stride is not None:
         avod = model.avod
         if args.s2_bev_stride is not None:
@@ -180,7 +191,7 @@ def main(argv=None):
         if args.s2_img_stride is not None:
             avod = dataclasses.replace(avod, img_roi_stride=args.s2_img_stride)
         model = dataclasses.replace(model, avod=avod)
-        s2_tag = f"_s2b{model.avod.bev_roi_stride}i{model.avod.img_roi_stride}"
+        s2_tag += f"_s2b{model.avod.bev_roi_stride}i{model.avod.img_roi_stride}"
     cfg = dataclasses.replace(
         base,
         checkpoint_name=f"{args.preset}_check_q{args.roi_quad}" + s2_tag
