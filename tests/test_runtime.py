@@ -85,6 +85,11 @@ def test_evaluator_sweep(cfg):
     r = results[-1]
     assert r["num_frames"] == 1
     assert "Car" in r["ap"]
+    # AOS rides next to 2d/bev/3d in every eval result (round-4 metric)
+    for cls_metrics in r["ap"].values():
+        assert set(("2d", "bev", "3d", "aos")) <= set(cls_metrics)
+        for diffs in cls_metrics.values():
+            assert set(diffs) == {"easy", "moderate", "hard"}
     # which AP backend scored this sweep is recorded (never silent)
     assert r["ap_backend"] in ("native_cpp", "numpy_oracle")
     # KITTI txt written
