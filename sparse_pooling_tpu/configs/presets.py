@@ -47,14 +47,14 @@ def cars_pyramid_config() -> PipelineConfig:
             # overflow (tests); under overflow both paths keep the
             # densest-count tiers first, so objects survive either way.
             # Overflow IS the common case at this lattice (~950 nonempty
-            # Q4-blocks vs the 512-block cap). Round-3 check: Q=4
-            # 0.909/0.909/0.909 vs Q=1 0.909/0.909/0.900 (11-pt ceiling).
-            # Round-4 RE-certification under the sharpened oracle
-            # (cars_hard, 40-pt): Q=4 vs Q=1 deltas ~±0.05 in both
-            # directions, inside the measured ±0.06 seed noise, and a
-            # mechanism check shows the block cap drops NO anchors within
-            # 1 m of counted GT (25/26 covered both modes; the 1 miss is
-            # outside every scoring band) — Q=4 stays the default.
+            # Q4-blocks vs the 512-block cap). Round-4 certification under
+            # the sharpened oracle at HIGH-RESOLUTION val (48 held-out
+            # hard frames, 2 seeds, 40-pt): Q=4 3D moderate 0.908/0.893
+            # vs Q=1 0.855/0.840 — quad filtering is AP-POSITIVE (+0.053
+            # at ~0.02 seed spreads; block-granular keeps retain clustered
+            # mid-IoU positions that position-granular capping drops), and
+            # the cap drops NO anchors within 1 m of counted GT (25/26
+            # covered both modes; the miss is outside every scoring band).
             rpn=RpnConfig(roi_quad=4),
             # Stage 2 samples BOTH views reference-exact (stride 1).
             # History: round 3 shipped bev_roi_stride=4 (patch-einsum ROI,
