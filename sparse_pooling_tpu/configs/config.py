@@ -302,6 +302,19 @@ class AvodStage2Config:
     loss_cls_weight: float = 1.0
     loss_reg_weight: float = 5.0
     loss_ang_weight: float = 1.0
+    # Explicit pi-disambiguation head. Round-4 decomposition
+    # (tools/analyze_heading_flips.py) showed the angle-vector regression's
+    # FINE angle converges early (1.4 deg median) while the binary pi-flip
+    # bit it implicitly carries sits at exact chance at check-scale training
+    # horizons, and loss-share tuning does not move it. When enabled, stage 2
+    # adds a 2-logit front/back head trained with CE on the GT heading side
+    # (side = outside the canonical band [-pi/2, pi/2), see
+    # ops.encoders.heading_flip_bit), and decode resolves the pi flip from
+    # this logit instead of the angle-vector direction; the box regression
+    # keeps supplying the fine angle it already nails. The angle-vector head
+    # and loss remain (reference parity + the rcnn family's fine angle).
+    explicit_flip_head: bool = False
+    loss_flip_weight: float = 1.0
     box_rep: str = "box_4c"  # 10-d regression target (4 corners + 2 heights)
     # Treat NMS-selected proposals as constants for stage 2 (the
     # Faster-R-CNN/MV3D convention: no gradient through proposal box

@@ -26,7 +26,23 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--train_frames", type=int, default=48)
-    p.add_argument("--val_frames", type=int, default=16)
+    p.add_argument(
+        "--val_frames", type=int, default=48,
+        help="held-out frames (48 = the certified high-resolution recipe)",
+    )
+    p.add_argument(
+        "--seed", type=int, default=None,
+        help="single-seed escape hatch for quick probes (overrides --seeds)",
+    )
+    p.add_argument(
+        "--seeds", default="0,7",
+        help="comma list of dataset seeds; mean +/- half-spread reported "
+        "(the certified high-resolution recipe, round-4 verdict item 5)",
+    )
+    p.add_argument(
+        "--flip_head", action="store_true",
+        help="enable avod.explicit_flip_head (explicit pi-disambiguation)",
+    )
     p.add_argument("--workdir", default=None)
     p.add_argument("--device", default=None, help="cpu or tpu (default: auto)")
     p.add_argument("--roi_quad", type=int, default=1, help="preset default 1")
@@ -74,9 +90,15 @@ def main(argv=None):
         base.model,
         rpn=dataclasses.replace(base.model.rpn, roi_quad=args.roi_quad),
     )
+    if args.flip_head:
+        model = dataclasses.replace(
+            model,
+            avod=dataclasses.replace(model.avod, explicit_flip_head=True),
+        )
+    tag = "_flip" if args.flip_head else ""
     cfg = dataclasses.replace(
         base,
-        checkpoint_name=f"people_prod_q{args.roi_quad}",
+        checkpoint_name=f"people_prod_q{args.roi_quad}{tag}",
         experiments_dir=f"{workdir}/exp",
         model=model,
         train=dataclasses.replace(
@@ -100,37 +122,75 @@ def main(argv=None):
         ),
     )
 
-    print(f"[people_prod] workdir {workdir} roi_quad={args.roi_quad}")
-    Trainer(cfg).train()
-    eval_cfg = dataclasses.replace(
-        cfg, dataset=dataclasses.replace(cfg.dataset, split="val")
-    )
-    ev = Evaluator(eval_cfg)
-    results = ev.repeated_checkpoint_run(max_wait=0)
+    from sparse_pooling_tpu.experiments import check_utils as cu
+
+    classes = ["Pedestrian", "Cyclist"]
+    seeds = cu.parse_seeds(args.seeds, args.seed)
     print(
-        f"\n[{args.ap_points}-pt protocol, scene={args.scene}] held-out val"
+        f"[people_prod] workdir {workdir} roi_quad={args.roi_quad} "
+        f"seeds={seeds}"
     )
-    print("step   class       metric     easy  moderate    hard")
-    for r in results:
-        for cls in ("Pedestrian", "Cyclist"):
-            ap = r["ap"][cls]
-            for metric in ("2d", "bev", "3d", "aos"):
-                if metric not in ap:
-                    continue
-                m = ap[metric]
-                print(
-                    f"{r['step']:>5}  {cls:<10} {metric:<6} {m['easy']:8.3f} "
-                    f"{m['moderate']:8.3f} {m['hard']:8.3f}"
-                )
+    per_seed = []
+    for seed in seeds:
+        cfg_s = dataclasses.replace(
+            cfg,
+            checkpoint_name=cfg.checkpoint_name + (f"_seed{seed}" if seed else ""),
+            dataset=dataclasses.replace(cfg.dataset, seed=seed),
+        )
+        Trainer(cfg_s).train()
+        eval_cfg = dataclasses.replace(
+            cfg_s, dataset=dataclasses.replace(cfg_s.dataset, split="val")
+        )
+        ev = Evaluator(eval_cfg)
+        results = ev.repeated_checkpoint_run(max_wait=0)
+        print(
+            f"\n[seed {seed}; {args.ap_points}-pt protocol, "
+            f"scene={args.scene}] held-out val"
+        )
+        print("step   class       metric     easy  moderate    hard")
+        for r in results:
+            for cls in classes:
+                ap = r["ap"][cls]
+                for metric in ("2d", "bev", "3d", "aos"):
+                    if metric not in ap:
+                        continue
+                    m = ap[metric]
+                    print(
+                        f"{r['step']:>5}  {cls:<10} {metric:<6} "
+                        f"{m['easy']:8.3f} {m['moderate']:8.3f} "
+                        f"{m['hard']:8.3f}"
+                    )
+        best = cu.best_result(results, classes)
+        per_seed.append(
+            {
+                "seed": seed,
+                "final_ap": {c: results[-1]["ap"][c] for c in classes},
+                "best_step": best["step"],
+                "best_ap": {c: best["ap"][c] for c in classes},
+                "eval_fps": results[-1]["frames_per_sec"],
+            }
+        )
+
+    agg_final = cu.aggregate_aps([s["final_ap"] for s in per_seed], classes)
+    agg_best = cu.aggregate_aps([s["best_ap"] for s in per_seed], classes)
+    if len(per_seed) > 1:
+        cu.print_aggregate(agg_final, classes, seeds, "final checkpoint")
+        cu.print_aggregate(agg_best, classes, seeds, "best checkpoint")
     summary = {
         "roi_quad": args.roi_quad,
         "steps": args.steps,
         "ap_points": args.ap_points,
         "scene": args.scene,
-        "final_ap": {c: results[-1]["ap"][c] for c in ("Pedestrian", "Cyclist")},
-        "eval_fps": results[-1]["frames_per_sec"],
+        "flip_head": args.flip_head,
+        "seeds": seeds,
+        "val_frames": args.val_frames,
+        "per_seed": per_seed,
+        "aggregate_final": agg_final,
+        "aggregate_best": agg_best,
+        "final_ap": per_seed[0]["final_ap"],
+        "eval_fps": per_seed[0]["eval_fps"],
     }
-    out_path = os.path.join(workdir, f"people_prod_q{args.roi_quad}.json")
+    out_path = os.path.join(workdir, f"people_prod_q{args.roi_quad}{tag}.json")
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     print(f"[people_prod] summary -> {out_path}")

@@ -92,6 +92,8 @@ class Stage2Head(nn.Module):
     fusion_type: str = "early"
     fusion_method: str = "mean"
     box_dim: int = 10  # 10 = box_4c, 24 = box_8c, 6 = anchor offsets (rcnn)
+    # emit the explicit pi-disambiguation logits (config.explicit_flip_head)
+    flip_head: bool = False
 
     def _combine(self, views, denom):
         if len(views) == 1:
@@ -151,10 +153,16 @@ class Stage2Head(nn.Module):
         cls_logits = nn.Dense(self.num_classes + 1, dtype=jnp.float32, name="cls")(x)
         box_offsets = nn.Dense(self.box_dim, dtype=jnp.float32, name="box_reg")(x)
         orientation = nn.Dense(2, dtype=jnp.float32, name="orientation")(x)
+        flip_logits = (
+            nn.Dense(2, dtype=jnp.float32, name="flip")(x)
+            if self.flip_head
+            else None
+        )
         return (
             cls_logits.astype(jnp.float32),
             box_offsets.astype(jnp.float32),
             orientation.astype(jnp.float32),
+            flip_logits if flip_logits is None else flip_logits.astype(jnp.float32),
         )
 
 
@@ -205,6 +213,7 @@ class SparsePoolingDetector(nn.Module):
             c.avod.fc_layers, c.num_classes, c.avod.keep_dropout_prob, dt,
             fusion_type=c.avod.fusion_type, fusion_method=c.avod.fusion_method,
             box_dim=10 if c.avod.box_rep == "box_4c" else 24,
+            flip_head=c.avod.explicit_flip_head,
         )
 
     def __call__(
@@ -432,13 +441,15 @@ class SparsePoolingDetector(nn.Module):
         img_rois2 = _s2_rois(
             img_feat, prop_img * img_px_scale2, c.avod.img_roi_stride
         )
-        cls_logits, box_offsets, orientation = self.stage2_head(
+        cls_logits, box_offsets, orientation, flip_logits = self.stage2_head(
             [bev_rois2.astype(jnp.float32), img_rois2.astype(jnp.float32)],
             train,
             denom=denom[..., 0, 0],  # [B, 1, 1] for the [B, P, F] stacks
         )
 
+        extra = {} if flip_logits is None else {"flip_logits": flip_logits}
         return {
+            **extra,
             "objectness": objectness,  # [B, A, 2]
             "rpn_offsets": offsets,  # [B, A, 6]
             "anchors": inputs["anchors"],  # [B, A, 8]
@@ -478,11 +489,21 @@ def decode_detections(
         final_4c = encoders.offsets_to_box_4c(prop_4c, outputs["box_offsets"])
         boxes_3d = encoders.box_4c_to_box_3d(final_4c, plane)
 
-    # orientation resolution: flip ry by pi toward the predicted heading
-    theta = encoders.vector_to_angle(outputs["orientation"])
+    # orientation resolution. Default (reference semantics): flip the
+    # box-decoded ry by pi toward the angle-vector heading. With the
+    # explicit flip head: the box regression keeps the fine (mod-pi) angle,
+    # the binary logit supplies the side — the round-4 decomposition showed
+    # the implicit angle-vector side bit sits at chance at short horizons.
     ry = boxes_3d[..., 6]
-    delta = jnp.mod(ry - theta + jnp.pi, 2 * jnp.pi) - jnp.pi
-    ry = jnp.where(jnp.abs(delta) > jnp.pi / 2, ry - jnp.sign(delta) * jnp.pi, ry)
+    if "flip_logits" in outputs:
+        flip = jnp.argmax(outputs["flip_logits"], axis=-1)
+        ry = encoders.apply_heading_flip(ry, flip)
+    else:
+        theta = encoders.vector_to_angle(outputs["orientation"])
+        delta = jnp.mod(ry - theta + jnp.pi, 2 * jnp.pi) - jnp.pi
+        ry = jnp.where(
+            jnp.abs(delta) > jnp.pi / 2, ry - jnp.sign(delta) * jnp.pi, ry
+        )
     boxes_3d = boxes_3d.at[..., 6].set(ry)
 
     probs = jax.nn.softmax(outputs["cls_logits"], axis=-1)  # [B, P, C+1]

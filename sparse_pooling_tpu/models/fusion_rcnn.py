@@ -136,6 +136,7 @@ class FusionRcnn(nn.Module):
         self.stage2_head = Stage2Head(
             c.avod.fc_layers, c.num_classes, c.avod.keep_dropout_prob, dt,
             box_dim=6,  # this family regresses 6-d anchor offsets
+            flip_head=c.avod.explicit_flip_head,
         )
 
     def __call__(self, inputs: Dict[str, Any], train: bool = False):
@@ -203,9 +204,13 @@ class FusionRcnn(nn.Module):
             ).astype(jnp.float32)
         ) / 2.0
         # stage-2 regression reuses the 6-d anchor-offset encoding
-        cls_logits, box_offsets, orientation = self.stage2_head(rois, train)
+        cls_logits, box_offsets, orientation, flip_logits = self.stage2_head(
+            rois, train
+        )
 
+        extra = {} if flip_logits is None else {"flip_logits": flip_logits}
         return {
+            **extra,
             "objectness": objectness,
             "rpn_offsets": offsets,
             "anchors": inputs["anchors"],
@@ -231,6 +236,12 @@ def decode_rcnn_detections(
     proposals = outputs["proposals"]
     refined = encoders.offset_to_anchor(proposals, outputs["box_offsets"])
     ry = encoders.vector_to_angle(outputs["orientation"])
+    if "flip_logits" in outputs:
+        # the angle vector keeps the fine (mod-pi) angle; the explicit
+        # binary head supplies the pi-disambiguation side (see
+        # AvodStage2Config.explicit_flip_head)
+        flip = jnp.argmax(outputs["flip_logits"], axis=-1)
+        ry = encoders.apply_heading_flip(ry, flip)
     boxes_3d = encoders.anchor_to_box_3d(refined, ry)
 
     probs = jax.nn.softmax(outputs["cls_logits"], axis=-1)
@@ -322,7 +333,19 @@ def rcnn_loss(
             + cfg.avod.loss_reg_weight * s2_reg
             + cfg.avod.loss_ang_weight * s2_ang
         )
+        extra = {}
+        if "flip_logits" in out:
+            flip_onehot = jax.nn.one_hot(
+                encoders.heading_flip_bit(gt_sel[..., 6]), 2
+            )
+            flip = weighted_softmax_ce(
+                jnp.take(out["flip_logits"], mb2.indices, axis=0),
+                flip_onehot, pos_w2,
+            )
+            total = total + cfg.avod.loss_flip_weight * flip
+            extra["flip"] = flip
         return {
+            **extra,
             "total": total, "rpn_objectness": rpn_obj, "rpn_regression": rpn_reg,
             "cls": s2_cls, "reg": s2_reg, "orientation": s2_ang,
             "num_rpn_pos": jnp.sum(mb.is_pos), "num_s2_pos": jnp.sum(mb2.is_pos),

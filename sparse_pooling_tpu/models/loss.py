@@ -95,7 +95,17 @@ def detector_loss(
         + a.loss_reg_weight * s2_reg_loss
         + a.loss_ang_weight * s2_ang_loss
     )
+    extra = {}
+    if "flip_logits" in outputs:
+        sel_flip = jnp.take(outputs["flip_logits"], mb2.indices, axis=0)
+        flip_onehot = jax.nn.one_hot(
+            encoders.heading_flip_bit(sel_gt_3d[:, 6]), 2
+        )
+        flip_loss = weighted_softmax_ce(sel_flip, flip_onehot, pos_w2)
+        total = total + a.loss_flip_weight * flip_loss
+        extra["flip"] = flip_loss
     return {
+        **extra,
         "total": total,
         "rpn_objectness": rpn_obj_loss,
         "rpn_regression": rpn_reg_loss,

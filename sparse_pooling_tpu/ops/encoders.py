@@ -97,6 +97,37 @@ def vector_to_angle(vec):
     return jnp.arctan2(vec[..., 1], vec[..., 0])
 
 
+def heading_flip_bit(ry):
+    """1 where ry (any range) lies OUTSIDE the canonical band [-pi/2, pi/2).
+
+    The binary pi-disambiguation target for the explicit flip head
+    (``AvodStage2Config.explicit_flip_head``): a heading equals its
+    canonical (mod-pi) reduction plus ``flip_bit * pi``.
+    """
+
+    w = jnp.mod(jnp.asarray(ry) + jnp.pi / 2, 2 * jnp.pi)  # 0 == -pi/2
+    return (w >= jnp.pi).astype(jnp.int32)
+
+
+def canonical_heading(ry):
+    """Wrap ry into the canonical band [-pi/2, pi/2) (mod pi)."""
+
+    return jnp.mod(jnp.asarray(ry) + jnp.pi / 2, jnp.pi) - jnp.pi / 2
+
+
+def apply_heading_flip(ry, flip):
+    """Canonicalize ry (mod pi) then add pi where flip == 1, in (-pi, pi].
+
+    Inverse of (``canonical_heading``, ``heading_flip_bit``):
+    ``apply_heading_flip(ry, heading_flip_bit(ry))`` == wrap(ry) exactly for
+    any heading. At decode the fine angle comes from the (pi-ambiguous) box
+    regression and the side bit from the flip head.
+    """
+
+    out = canonical_heading(ry) + jnp.asarray(flip, jnp.float32) * jnp.pi
+    return jnp.where(out > jnp.pi, out - 2 * jnp.pi, out)
+
+
 # ---------------------------------------------------------------- box_8c
 
 def box_3d_to_corners(boxes_3d):

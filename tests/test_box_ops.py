@@ -90,6 +90,45 @@ def test_orientation_round_trip():
     np.testing.assert_allclose(np.asarray(back), np.asarray(ry), atol=1e-6)
 
 
+def test_heading_flip_bit_round_trip():
+    """apply_heading_flip(ry, heading_flip_bit(ry)) reconstructs any heading.
+
+    The explicit pi-disambiguation decomposition (config
+    ``explicit_flip_head``): heading == canonical (mod-pi) angle + flip*pi.
+    """
+
+    ry = jnp.array(
+        [0.0, 0.3, -0.3, np.pi / 2, -np.pi / 2, np.pi - 0.1, -np.pi + 0.1,
+         np.pi, 2.5, -2.5, 5.8, -5.8]
+    )
+    flip = encoders.heading_flip_bit(ry)
+    canon = encoders.canonical_heading(ry)
+    # canonical band is [-pi/2, pi/2)
+    c = np.asarray(canon)
+    assert (c >= -np.pi / 2 - 1e-6).all() and (c < np.pi / 2 + 1e-6).all()
+    back = encoders.apply_heading_flip(ry, flip)
+    # equality mod 2pi
+    d = np.mod(np.asarray(back - ry) + np.pi, 2 * np.pi) - np.pi
+    np.testing.assert_allclose(d, 0.0, atol=1e-5)
+    # known side bits: 0 inside the band, 1 outside
+    np.testing.assert_array_equal(
+        np.asarray(encoders.heading_flip_bit(jnp.array([0.0, np.pi, -np.pi / 2, np.pi / 2]))),
+        [0, 1, 0, 1],
+    )
+
+
+def test_apply_heading_flip_forces_side():
+    """flip=1 moves any heading to the non-canonical side by exactly pi."""
+
+    ry = jnp.array([0.2, -1.0, 2.8])
+    flipped = encoders.apply_heading_flip(ry, jnp.ones(3, jnp.int32))
+    unflipped = encoders.apply_heading_flip(ry, jnp.zeros(3, jnp.int32))
+    d = np.mod(np.asarray(flipped - unflipped) + np.pi, 2 * np.pi) - np.pi
+    np.testing.assert_allclose(np.abs(d), np.pi, atol=1e-5)
+    assert np.asarray(encoders.heading_flip_bit(flipped)).tolist() == [1, 1, 1]
+    assert np.asarray(encoders.heading_flip_bit(unflipped)).tolist() == [0, 0, 0]
+
+
 def test_corners_axis_aligned():
     box = jnp.array([[0.0, 1.65, 10.0, 4.0, 2.0, 1.5, 0.0]])
     c = np.asarray(encoders.box_3d_to_corners(box))[0]

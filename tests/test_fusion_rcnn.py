@@ -90,6 +90,45 @@ def test_decode_and_loss(setup):
     assert 0.2 < float(losses["rpn_objectness"]) < 2.0
 
 
+def test_rcnn_explicit_flip_head(setup):
+    """explicit_flip_head on the rcnn family: logits emitted, CE term in
+    the loss, decode flips the angle-vector heading by exactly pi."""
+
+    import dataclasses
+
+    cfg, ext, model, inputs, batch, params = setup
+    cfgf = dataclasses.replace(
+        cfg, avod=dataclasses.replace(cfg.avod, explicit_flip_head=True)
+    )
+    modelf = fr.FusionRcnn(cfg=cfgf, extents=ext)
+    key = jax.random.PRNGKey(5)
+    paramsf = modelf.init({"params": key, "dropout": key}, inputs, train=False)
+    out = modelf.apply(paramsf, inputs, train=False)
+    p = cfgf.rpn.eval_nms_size
+    assert out["flip_logits"].shape == (2, p, 2)
+
+    losses = fr.rcnn_loss(
+        out, batch.gt_boxes_3d, batch.gt_valid, batch.gt_classes, key, cfgf, ext
+    )
+    assert "flip" in losses and np.isfinite(float(losses["flip"]))
+
+    out0 = dict(out)
+    out0["flip_logits"] = jnp.tile(jnp.array([[[5.0, -5.0]]]), (2, p, 1))
+    out1 = dict(out)
+    out1["flip_logits"] = jnp.tile(jnp.array([[[-5.0, 5.0]]]), (2, p, 1))
+    det0 = fr.decode_rcnn_detections(out0, cfgf, ext)
+    det1 = fr.decode_rcnn_detections(out1, cfgf, ext)
+    np.testing.assert_allclose(
+        np.asarray(det0["boxes_3d"][..., :6]),
+        np.asarray(det1["boxes_3d"][..., :6]), atol=1e-6,
+    )
+    d = np.mod(
+        np.asarray(det1["boxes_3d"][..., 6] - det0["boxes_3d"][..., 6]) + np.pi,
+        2 * np.pi,
+    ) - np.pi
+    np.testing.assert_allclose(np.abs(d), np.pi, atol=1e-5)
+
+
 def test_grads_flow(setup):
     cfg, ext, model, inputs, batch, params = setup
     key = jax.random.PRNGKey(2)

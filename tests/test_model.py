@@ -218,6 +218,103 @@ def test_box_8c_regression_head(setup):
     assert np.isfinite(total) and total > 0
 
 
+def test_explicit_flip_head(setup):
+    """avod.explicit_flip_head: flip logits emitted, CE term in the loss
+    with flowing grads, and decode resolves the pi side FROM the logits
+    (forced logits flip every heading by exactly pi, boxes unchanged)."""
+
+    import dataclasses
+
+    cfg, ext, model, anchors_static, raw, params = setup
+    cfgf = dataclasses.replace(
+        cfg,
+        avod=dataclasses.replace(cfg.avod, explicit_flip_head=True),
+        # relax the stage-2 positive band: the UNTRAINED model's proposals
+        # rarely reach 0.65 IoU, and the flip CE (like the orientation
+        # loss) is positive-weighted — without positives its grads are
+        # legitimately zero and the wiring assertion below would be vacuous
+        mini_batch=dataclasses.replace(
+            cfg.mini_batch, avod_pos_iou=(0.05, 1.0), avod_neg_iou=(0.0, 0.03)
+        ),
+    )
+    modelf = pl.make_model(cfgf, ext)
+    key = jax.random.PRNGKey(11)
+    paramsf = modelf.init(
+        {"params": key, "dropout": key},
+        pl.build_model_inputs(raw, anchors_static, jnp.ones((2,), jnp.float32), cfgf, ext),
+        train=False,
+    )
+    out = pl.forward_single(modelf, paramsf, raw, anchors_static, cfgf, ext, train=False)
+    p = cfgf.rpn.eval_nms_size
+    assert out["flip_logits"].shape == (p, 2)
+
+    # anchor-center-aligned GT; the untrained RPN's 16 random-scored
+    # proposals almost never overlap it, so patch proposal 0 to the GT
+    # anchor — the positive-weighted flip CE then has a guaranteed
+    # positive while grads still flow through the model's flip logits
+    gt = np.zeros((8, 7), np.float32)
+    gt[0] = [2.0, 1.65, 22.0, 3.913, 1.629, 1.526, 0.1]
+    raw2 = raw._replace(gt_boxes_3d=jnp.array(gt))
+    from sparse_pooling_tpu.ops import encoders as enc
+
+    gt_anchor = enc.box_3d_to_anchor(raw2.gt_boxes_3d)[0]
+
+    def patched_forward(pp):
+        o = pl.forward_single(
+            modelf, pp, raw2, anchors_static, cfgf, ext, train=True, rng=key
+        )
+        o["proposals"] = o["proposals"].at[0].set(gt_anchor)
+        return o
+
+    losses = loss_mod.detector_loss(
+        patched_forward(paramsf),
+        raw2.gt_boxes_3d, raw2.gt_valid, raw2.gt_classes, raw2.ground_plane,
+        key, cfgf, ext,
+    )
+    assert "flip" in losses and np.isfinite(float(losses["flip"]))
+    assert float(losses["num_s2_pos"]) >= 1
+    assert float(losses["flip"]) > 0
+
+    def loss_fn(pp):
+        return loss_mod.detector_loss(
+            patched_forward(pp), raw2.gt_boxes_3d, raw2.gt_valid,
+            raw2.gt_classes, raw2.ground_plane, key, cfgf, ext,
+        )["total"]
+
+    grads = jax.grad(loss_fn)(paramsf)
+    flip_g = jax.tree_util.tree_leaves(
+        grads["params"]["stage2_head"]["flip"]
+    )
+    assert sum(float(jnp.abs(g).sum()) for g in flip_g) > 0
+
+    # decode side-resolution: force the logits to each side; headings must
+    # differ by exactly pi with identical box footprints
+    out0 = dict(out)
+    out0["flip_logits"] = jnp.tile(jnp.array([[5.0, -5.0]]), (p, 1))
+    out1 = dict(out)
+    out1["flip_logits"] = jnp.tile(jnp.array([[-5.0, 5.0]]), (p, 1))
+    det0 = decode_detections_single(out0, raw.ground_plane, cfgf, ext)
+    det1 = decode_detections_single(out1, raw.ground_plane, cfgf, ext)
+    np.testing.assert_allclose(
+        np.asarray(det0["boxes_3d"][..., :6]),
+        np.asarray(det1["boxes_3d"][..., :6]), atol=1e-6,
+    )
+    d = np.mod(
+        np.asarray(det1["boxes_3d"][..., 6] - det0["boxes_3d"][..., 6]) + np.pi,
+        2 * np.pi,
+    ) - np.pi
+    np.testing.assert_allclose(np.abs(d), np.pi, atol=1e-5)
+    # and the canonical (mod-pi) fine angle equals the default decode's
+    det_ref = decode_detections_single(out, raw.ground_plane, cfg, ext)
+    from sparse_pooling_tpu.ops import encoders as enc
+
+    np.testing.assert_allclose(
+        np.asarray(enc.canonical_heading(det0["boxes_3d"][..., 6])),
+        np.asarray(enc.canonical_heading(det_ref["boxes_3d"][..., 6])),
+        atol=1e-5,
+    )
+
+
 @pytest.mark.parametrize("ftype,fmethod", [
     ("early", "concat"), ("late", "mean"), ("deep", "mean"), ("deep", "concat"),
 ])
