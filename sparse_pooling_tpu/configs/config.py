@@ -315,7 +315,11 @@ class AvodStage2Config:
     # and loss remain (reference parity + the rcnn family's fine angle).
     explicit_flip_head: bool = False
     loss_flip_weight: float = 1.0
-    box_rep: str = "box_4c"  # 10-d regression target (4 corners + 2 heights)
+    # Stage-2 box regression target: "box_4c" (10-d, 4 ground corners + 2
+    # heights — the AVOD representation), "box_8c" (24-d full corners —
+    # MV3D's corner regression), or "offsets" (6-d anchor offsets —
+    # rcnn-family only; the AVOD-style detector rejects it).
+    box_rep: str = "box_4c"
     # Treat NMS-selected proposals as constants for stage 2 (the
     # Faster-R-CNN/MV3D convention: no gradient through proposal box
     # COORDINATES into the RPN; the RPN still trains through its own loss).

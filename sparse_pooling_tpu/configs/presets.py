@@ -87,6 +87,11 @@ def rcnn_cars_config() -> PipelineConfig:
             architecture="rcnn",
             classes=("Car",),
             anchors=AnchorConfig(sizes=(CAR_SIZE,)),
+            # stage-2 regression: the family historically shipped plain
+            # 6-d anchor offsets; box_4c/box_8c (MV3D's corner fidelity)
+            # are wired and A/B-able via cars_check --rcnn_box_rep
+            # (round-4 verdict item 3)
+            avod=AvodStage2Config(box_rep="offsets"),
         ),
     )
 

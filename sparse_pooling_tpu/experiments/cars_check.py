@@ -151,6 +151,13 @@ def main(argv=None):
         "16 val frames are noise)",
     )
     p.add_argument(
+        "--rcnn_box_rep", default=None,
+        choices=("offsets", "box_4c", "box_8c"),
+        help="override avod.box_rep for the rcnn_cars preset (A/B the "
+        "MV3D corner-fidelity stage-2 regression vs the historical plain "
+        "6-d offsets; round-4 verdict item 3)",
+    )
+    p.add_argument(
         "--flip_head", action="store_true",
         help="enable avod.explicit_flip_head: binary pi-disambiguation "
         "logit on stage 2 (round-4 decomposition: the angle-vector's "
@@ -205,9 +212,16 @@ def main(argv=None):
             model,
             avod=dataclasses.replace(model.avod, explicit_flip_head=True),
         )
+    if args.rcnn_box_rep is not None:
+        model = dataclasses.replace(
+            model,
+            avod=dataclasses.replace(model.avod, box_rep=args.rcnn_box_rep),
+        )
     s2_tag = "" if args.ang_weight is None else f"_ang{args.ang_weight:g}"
     if args.flip_head:
         s2_tag += "_flip"
+    if args.rcnn_box_rep is not None:
+        s2_tag += f"_{args.rcnn_box_rep}"
     if args.s2_bev_stride is not None or args.s2_img_stride is not None:
         avod = model.avod
         if args.s2_bev_stride is not None:

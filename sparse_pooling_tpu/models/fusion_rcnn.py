@@ -133,9 +133,18 @@ class FusionRcnn(nn.Module):
             c.rpn.fusion_channels,
             len(c.anchors.rotations) * len(c.anchors.sizes), dt,
         )
+        # stage-2 regression target (config box_rep): the family's
+        # historical 6-d anchor offsets, or the corner representations —
+        # box_8c IS MV3D's corner regression, box_4c the AVOD-style
+        # ground-corner variant (round-4 verdict item 3: the reference
+        # MV3D fork regressed corners, so the plain-offset approximation
+        # must be an A/B-able choice, not a hard-coded downgrade)
+        box_dims = {"offsets": 6, "box_4c": 10, "box_8c": 24}
+        if c.avod.box_rep not in box_dims:
+            raise ValueError(f"unknown box_rep '{c.avod.box_rep}'")
         self.stage2_head = Stage2Head(
             c.avod.fc_layers, c.num_classes, c.avod.keep_dropout_prob, dt,
-            box_dim=6,  # this family regresses 6-d anchor offsets
+            box_dim=box_dims[c.avod.box_rep],
             flip_head=c.avod.explicit_flip_head,
         )
 
@@ -228,8 +237,22 @@ def decode_rcnn_detections(
     outputs: Dict[str, jnp.ndarray],
     cfg: ModelConfig,
     extents: AreaExtents = AreaExtents(),
+    ground_plane: jnp.ndarray = None,  # [B, 4]; required for box_4c
 ):
-    """Decode stage-2 anchor offsets + orientation to box_3d + per-class NMS."""
+    """Decode stage 2 to box_3d + per-class NMS (box_rep-dispatched).
+
+    box_rep "offsets": the family's historical 6-d anchor-offset decode.
+    "box_4c"/"box_8c": the corner decodes — identical semantics to the
+    AVOD-style ``decode_detections`` (the encoders are detector-agnostic),
+    so this delegates to it.
+    """
+
+    if cfg.avod.box_rep in ("box_4c", "box_8c"):
+        from sparse_pooling_tpu.models.detector import decode_detections
+
+        if ground_plane is None:
+            raise ValueError("box_4c/box_8c decode needs ground_plane")
+        return decode_detections(outputs, ground_plane, cfg, extents)
 
     from sparse_pooling_tpu.ops.nms import nms_batch
 
@@ -272,8 +295,25 @@ def rcnn_loss(
     rng: jax.Array,
     cfg: ModelConfig,
     extents: AreaExtents = AreaExtents(),
+    ground_plane: jnp.ndarray = None,  # [B, 4]; required for box_4c
 ):
-    """RPN + stage-2 loss for the R-CNN family (per-sample vmap, mean)."""
+    """RPN + stage-2 loss for the R-CNN family (per-sample vmap, mean).
+
+    box_rep "box_4c"/"box_8c" delegates to the AVOD-family loss — the
+    minibatch sampling, CE/smooth-L1 structure and output keys are
+    identical; only the stage-2 regression target differs, and
+    ``detector_loss`` already branches on box_rep.
+    """
+
+    if cfg.avod.box_rep in ("box_4c", "box_8c"):
+        from sparse_pooling_tpu.models.loss import detector_loss_batch
+
+        if ground_plane is None:
+            raise ValueError("box_4c/box_8c loss needs ground_plane")
+        return detector_loss_batch(
+            outputs, gt_boxes_3d, gt_valid, gt_classes, ground_plane,
+            rng, cfg, extents,
+        )
 
     import functools
 

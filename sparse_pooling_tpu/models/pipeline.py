@@ -362,7 +362,7 @@ def loss_batch(outputs, batch: RawSample, rng, cfg: ModelConfig, extents: AreaEx
 
         return rcnn_loss(
             outputs, batch.gt_boxes_3d, batch.gt_valid, batch.gt_classes,
-            rng, cfg, extents,
+            rng, cfg, extents, ground_plane=batch.ground_plane,
         )
     from sparse_pooling_tpu.models.loss import detector_loss_batch
 
@@ -378,7 +378,9 @@ def decode_batch(outputs, ground_plane, cfg: ModelConfig, extents: AreaExtents):
     if cfg.architecture == "rcnn":
         from sparse_pooling_tpu.models.fusion_rcnn import decode_rcnn_detections
 
-        return decode_rcnn_detections(outputs, cfg, extents)
+        return decode_rcnn_detections(
+            outputs, cfg, extents, ground_plane=ground_plane
+        )
     from sparse_pooling_tpu.models.detector import decode_detections
 
     return decode_detections(outputs, ground_plane, cfg, extents)

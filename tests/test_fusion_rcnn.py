@@ -12,7 +12,14 @@ from sparse_pooling_tpu.models import pipeline as pl
 
 @pytest.fixture(scope="module")
 def setup():
+    import dataclasses
+
+    # the family's historical stage-2 target; box_4c/box_8c are covered by
+    # test_rcnn_corner_box_reps
     cfg = unittest_config().model
+    cfg = dataclasses.replace(
+        cfg, avod=dataclasses.replace(cfg.avod, box_rep="offsets")
+    )
     ext = AreaExtents()
     model = fr.FusionRcnn(cfg=cfg, extents=ext)
     anchors = jnp.array(fr.rcnn_anchor_grid(cfg, ext))
@@ -88,6 +95,54 @@ def test_decode_and_loss(setup):
     )
     assert np.isfinite(float(losses["total"]))
     assert 0.2 < float(losses["rpn_objectness"]) < 2.0
+
+
+@pytest.mark.parametrize("box_rep,dim", [("box_4c", 10), ("box_8c", 24)])
+def test_rcnn_corner_box_reps(setup, box_rep, dim):
+    """MV3D-fidelity stage-2 regression: the corner representations wire
+    into the rcnn family (head dim, finite decode, finite loss with grads
+    through the box head)."""
+
+    import dataclasses
+
+    cfg, ext, model, inputs, batch, params = setup
+    cfgc = dataclasses.replace(
+        cfg, avod=dataclasses.replace(cfg.avod, box_rep=box_rep)
+    )
+    modelc = fr.FusionRcnn(cfg=cfgc, extents=ext)
+    key = jax.random.PRNGKey(7)
+    paramsc = modelc.init({"params": key, "dropout": key}, inputs, train=False)
+    out = modelc.apply(paramsc, inputs, train=False)
+    p = cfgc.rpn.eval_nms_size
+    assert out["box_offsets"].shape == (2, p, dim)
+
+    plane = batch.ground_plane  # [2, 4]
+    det = fr.decode_rcnn_detections(out, cfgc, ext, ground_plane=plane)
+    assert det["boxes_3d"].shape == (2, 1, cfgc.avod.nms_size, 7)
+    finite = np.asarray(jnp.isfinite(det["boxes_3d"]))[np.asarray(det["valid"])]
+    assert finite.all()
+
+    def loss_fn(pp):
+        o = modelc.apply(pp, inputs, train=True, rngs={"dropout": key})
+        return fr.rcnn_loss(
+            o, batch.gt_boxes_3d, batch.gt_valid, batch.gt_classes,
+            key, cfgc, ext, ground_plane=plane,
+        )["total"]
+
+    val = float(loss_fn(paramsc))
+    assert np.isfinite(val)
+    grads = jax.grad(loss_fn)(paramsc)
+    total = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(total) and total > 0
+
+
+def test_rcnn_offsets_requires_no_plane(setup):
+    """The historical offsets path keeps its plane-free signature."""
+
+    cfg, ext, model, inputs, batch, params = setup
+    out = model.apply(params, inputs, train=False)
+    det = fr.decode_rcnn_detections(out, cfg, ext)
+    assert det["boxes_3d"].shape == (2, 1, cfg.avod.nms_size, 7)
 
 
 def test_rcnn_explicit_flip_head(setup):
