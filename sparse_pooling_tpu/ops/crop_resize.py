@@ -139,11 +139,22 @@ def _acc_dtype(images):
 # splits the op without changing any segment's summation set.
 _SCATTER_CHUNK_BYTES = 16 * 1024 * 1024
 
+# Frames-per-chunk cap independent of accumulator bytes. Round-4 trace
+# (trace_hot_ops --train --remat --batch 32): a bf16[958464,8] feature-grad
+# accumulator sits UNDER the byte cap, runs as one scatter, and XLA layout
+# assignment under remat flips it to a {0,1} (lane-minor) layout — 98
+# ns/entry vs the batch-8 twin's {1,0} at 36 ns/entry, 7.9% of device time.
+# Capping chunks at 8 frames makes every big-batch scatter shape-identical
+# to the batch-8 twin that gets the fast layout; per-segment sums are
+# unchanged (bit-exact, see the forced-chunking test in tests/test_box_ops).
+_SCATTER_CHUNK_FRAMES = 8
+
 
 def _frame_chunked_segment_sum(vals, ids, b, hw, acc):
     """segment_sum of batch-major entries into a [b*hw, C] accumulator,
     split into frame-range chunks that each stay under the measured
-    accumulator-size cliff (``_SCATTER_CHUNK_BYTES``).
+    accumulator-size cliff (``_SCATTER_CHUNK_BYTES``) AND the remat-layout
+    frame cap (``_SCATTER_CHUNK_FRAMES``).
 
     ``vals`` [M, C] and ``ids`` [M] (global ids: frame*hw + cell) must be
     batch-major with M divisible by b. Exact same per-segment sums as the
@@ -152,7 +163,9 @@ def _frame_chunked_segment_sum(vals, ids, b, hw, acc):
 
     m, c = vals.shape
     per_frame = hw * c * jnp.dtype(acc).itemsize
-    fpc = max(1, _SCATTER_CHUNK_BYTES // per_frame)
+    fpc = min(
+        max(1, _SCATTER_CHUNK_BYTES // per_frame), _SCATTER_CHUNK_FRAMES
+    )
     if fpc >= b:
         return jax.ops.segment_sum(
             vals.astype(acc), ids, num_segments=b * hw
