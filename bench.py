@@ -49,6 +49,26 @@ def main():
         "--roi_quad", type=int, default=None,
         help="override rpn.roi_quad for A/B (preset default otherwise)",
     )
+    # semantic perf levers (round-4 verdict item 2: byte floors are closed;
+    # remaining fps comes from FEWER entries/proposals — price each arm
+    # here for fps and in cars_check for AP before touching a default)
+    ap.add_argument(
+        "--eval_nms_size", type=int, default=None,
+        help="override rpn.eval_nms_size (stage-2 proposal count P; the "
+        "stage-2 crop/FC/NMS stages scale with it)",
+    )
+    ap.add_argument(
+        "--pre_top_k", type=int, default=None,
+        help="override rpn.pre_nms_top_k (RPN NMS candidate pool)",
+    )
+    ap.add_argument(
+        "--pool_channels", type=int, default=None,
+        help="override sparse_pool.pool_channels (SHPL bottleneck width)",
+    )
+    ap.add_argument(
+        "--final_nms_size", type=int, default=None,
+        help="override avod.nms_size (final per-class detection cap)",
+    )
     args = ap.parse_args()
 
     import sparse_pooling_tpu as _spt
@@ -71,6 +91,25 @@ def main():
     if args.roi_quad is not None:
         cfg = dataclasses.replace(
             cfg, rpn=dataclasses.replace(cfg.rpn, roi_quad=args.roi_quad)
+        )
+    if args.eval_nms_size is not None:
+        cfg = dataclasses.replace(
+            cfg, rpn=dataclasses.replace(cfg.rpn, eval_nms_size=args.eval_nms_size)
+        )
+    if args.pre_top_k is not None:
+        cfg = dataclasses.replace(
+            cfg, rpn=dataclasses.replace(cfg.rpn, pre_nms_top_k=args.pre_top_k)
+        )
+    if args.pool_channels is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            sparse_pool=dataclasses.replace(
+                cfg.sparse_pool, pool_channels=args.pool_channels
+            ),
+        )
+    if args.final_nms_size is not None:
+        cfg = dataclasses.replace(
+            cfg, avod=dataclasses.replace(cfg.avod, nms_size=args.final_nms_size)
         )
     ext = AreaExtents()
     model = pl.make_model(cfg, ext)

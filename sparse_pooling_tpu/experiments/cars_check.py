@@ -151,6 +151,19 @@ def main(argv=None):
         "16 val frames are noise)",
     )
     p.add_argument(
+        "--eval_nms_size", type=int, default=None,
+        help="override rpn.eval_nms_size (semantic perf lever A/B: "
+        "stage-2 proposal count — pair with the same flag on bench.py)",
+    )
+    p.add_argument(
+        "--pre_top_k", type=int, default=None,
+        help="override rpn.pre_nms_top_k (semantic perf lever A/B)",
+    )
+    p.add_argument(
+        "--pool_channels", type=int, default=None,
+        help="override sparse_pool.pool_channels (semantic perf lever A/B)",
+    )
+    p.add_argument(
         "--rcnn_box_rep", default=None,
         choices=("offsets", "box_4c", "box_8c"),
         help="override avod.box_rep for the rcnn_cars preset (A/B the "
@@ -217,11 +230,34 @@ def main(argv=None):
             model,
             avod=dataclasses.replace(model.avod, box_rep=args.rcnn_box_rep),
         )
+    if args.eval_nms_size is not None:
+        model = dataclasses.replace(
+            model,
+            rpn=dataclasses.replace(model.rpn, eval_nms_size=args.eval_nms_size),
+        )
+    if args.pre_top_k is not None:
+        model = dataclasses.replace(
+            model,
+            rpn=dataclasses.replace(model.rpn, pre_nms_top_k=args.pre_top_k),
+        )
+    if args.pool_channels is not None:
+        model = dataclasses.replace(
+            model,
+            sparse_pool=dataclasses.replace(
+                model.sparse_pool, pool_channels=args.pool_channels
+            ),
+        )
     s2_tag = "" if args.ang_weight is None else f"_ang{args.ang_weight:g}"
     if args.flip_head:
         s2_tag += "_flip"
     if args.rcnn_box_rep is not None:
         s2_tag += f"_{args.rcnn_box_rep}"
+    if args.eval_nms_size is not None:
+        s2_tag += f"_nms{args.eval_nms_size}"
+    if args.pre_top_k is not None:
+        s2_tag += f"_ptk{args.pre_top_k}"
+    if args.pool_channels is not None:
+        s2_tag += f"_pc{args.pool_channels}"
     if args.s2_bev_stride is not None or args.s2_img_stride is not None:
         avod = model.avod
         if args.s2_bev_stride is not None:
