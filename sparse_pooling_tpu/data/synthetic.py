@@ -38,18 +38,49 @@ _TR_VELO = np.array(
 _PLANE = (0.0, -1.0, 0.0, 1.65)  # flat road 1.65 m below the camera
 
 
-def _box_points(rng, x, y, z, l, w, h, ry, n):
+def _box_points(rng, x, y, z, l, w, h, ry, n, obj_type=None):
     """Sample LiDAR-ish points on the visible surfaces of a 3D box (cam frame).
 
     (x, y, z) is the bottom-center (KITTI convention); returns (n, 3).
+
+    ``obj_type`` adds the HEADING-OBSERVABLE geometry real objects carry.
+    Round-5 finding: with the default symmetric box, flipping ry by pi
+    produces an identically-distributed point cloud, so the binary
+    pi-disambiguation bit is statistically INDEPENDENT of every observable
+    feature — no model can beat chance on it, at any training horizon, and
+    AOS beyond 0.5*AP_2d is untestable (this, not a model weakness, is why
+    the round-4 flip bit sat at exact chance). Real cars have a low hood in
+    front and a cabin over the rear; cyclists a rider over the rear half;
+    pedestrians only a weak cue. The asymmetry is attached to +px in the
+    box frame, the axis the label ry defines:
+
+      Car:        roof points only over the rear 60% (px <= 0.1 l); the
+                  front wall capped at hood height (0.5 h).
+      Cyclist:    rider (top band) over the rear half; low front wheel.
+      Pedestrian: top band biased slightly rearward (weak, as in reality).
+
+    ``obj_type=None`` keeps the legacy symmetric box (clutter, geometry
+    tests).
     """
 
     face = rng.randint(0, 3, size=n)
     u = rng.uniform(-0.5, 0.5, size=n)
     v = rng.uniform(-0.5, 0.5, size=n)
+    top = face == 2
+    front_wall = (face == 0) & (u > 0)
+    hty = rng.uniform(0.6, 1.0, size=n)  # top-band height fraction
+    wty = rng.uniform(0.0, 1.0, size=n)  # wall height fraction
+    if obj_type == "Car":
+        u = np.where(top, -0.5 + 0.6 * (u + 0.5), u)  # roof: rear 60%
+        wty = np.where(front_wall, wty * 0.5, wty)  # hood-height front wall
+    elif obj_type == "Cyclist":
+        u = np.where(top, -0.5 + 0.5 * (u + 0.5), u)  # rider: rear half
+        wty = np.where(front_wall, wty * 0.6, wty)  # front wheel
+    elif obj_type == "Pedestrian":
+        u = np.where(top, -0.5 + 0.7 * (u + 0.5), u)  # head slightly back
     px = np.where(face == 0, np.sign(u) * 0.5, u) * l
     pz = np.where(face == 1, np.sign(v) * 0.5, v) * w
-    py = np.where(face == 2, -rng.uniform(0.6, 1.0, size=n), -rng.uniform(0.0, 1.0, size=n)) * h
+    py = np.where(top, -hty, -wty) * h
     c, s = np.cos(ry), np.sin(ry)
     rx = c * px + s * pz
     rz = -s * px + c * pz
@@ -285,7 +316,7 @@ def _make_hard_frame(rng, idx: int, n_ground: int, n_obj: int, flavor: str):
         n_pts = max(24, int(n_obj * min(1.0, (12.0 / ob["z"]) ** 2)))
         p = _box_points(
             rng, ob["x"], y, ob["z"], ob["l"], ob["w"], ob["h"], ob["ry"],
-            n_pts,
+            n_pts, obj_type=ob["type"],
         )
         if nearer_boxes:
             uv = _project(p)
@@ -341,7 +372,12 @@ def make_frame(idx: int, n_ground: int = 16384, n_obj: int = 1024, scene: str = 
     labels = []
     for ob in _scene_objects(rng, idx, scene):
         y = 1.65  # on the road
-        pts.append(_box_points(rng, ob["x"], y, ob["z"], ob["l"], ob["w"], ob["h"], ob["ry"], n_obj))
+        pts.append(
+            _box_points(
+                rng, ob["x"], y, ob["z"], ob["l"], ob["w"], ob["h"],
+                ob["ry"], n_obj, obj_type=ob["type"],
+            )
+        )
         corners_uv = _project(
             _box_points(np.random.RandomState(0), ob["x"], y, ob["z"], ob["l"], ob["w"], ob["h"], ob["ry"], 64)
         )

@@ -115,6 +115,12 @@ def main(argv=None):
     p.add_argument("--max_anchors", type=int, default=None)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=8e-4)
+    p.add_argument(
+        "--checkpoint_interval", type=int, default=None,
+        help="checkpoint/eval-sweep spacing (default steps//2); the "
+        "long-horizon orientation runs use e.g. 4000 to trace AOS vs "
+        "training time across checkpoints",
+    )
     p.add_argument("--dataset_root", default=None, help="reuse an existing tree")
     p.add_argument(
         "--ap_points", type=int, default=40,
@@ -276,7 +282,8 @@ def main(argv=None):
             base.train,
             batch_size=args.batch,
             max_iterations=args.steps,
-            checkpoint_interval=max(args.steps // 2, 1),
+            checkpoint_interval=args.checkpoint_interval
+            or max(args.steps // 2, 1),
             summary_interval=max(args.steps // 20, 1),
             optimizer=OptimizerConfig(
                 initial_lr=args.lr, decay_steps=args.steps // 2,

@@ -278,6 +278,42 @@ def test_bucketed_batch_device_parity():
 
 # ------------------------------------------------------- hard synthetic scenes
 
+def test_object_points_are_heading_asymmetric():
+    """The oracle must make the pi-flip bit OBSERVABLE (round-5 finding:
+    the legacy symmetric box makes heading-side statistically independent
+    of the points, so AOS beyond chance was untestable for ANY model).
+
+    For a car at ry=0 the roof band (top 40% heights) must sit toward the
+    REAR (-x); flipping ry by pi must flip that signed offset. The legacy
+    untyped box must remain symmetric (geometry tests depend on it).
+    """
+
+    import numpy as np
+
+    from sparse_pooling_tpu.data.synthetic import _box_points
+
+    def roof_offset(ry, obj_type, seed=3):
+        rng = np.random.RandomState(seed)
+        p = _box_points(
+            rng, 0.0, 1.65, 20.0, 3.9, 1.6, 1.5, ry, 4000, obj_type=obj_type
+        )
+        rel_y = 1.65 - p[:, 1]  # height above ground
+        roof = p[rel_y > 0.9 * 1.5]
+        return float(np.mean(roof[:, 0]))  # signed x offset (cam frame)
+
+    car0 = roof_offset(0.0, "Car")
+    car_pi = roof_offset(np.pi, "Car")
+    assert car0 < -0.3, car0  # roof toward the rear at ry=0
+    assert car_pi > 0.3, car_pi  # and flips with the heading
+    sym0 = roof_offset(0.0, None)
+    assert abs(sym0) < 0.15, sym0  # legacy box stays symmetric
+
+    # cyclists carry the cue too; pedestrians a weak but nonzero one
+    assert roof_offset(0.0, "Cyclist", seed=5) < -0.15
+    ped = roof_offset(0.0, "Pedestrian", seed=7)
+    assert ped < -0.02
+
+
 def test_hard_scene_populates_difficulty_bands(tmp_path):
     """The sharpened quality oracle (round-3 verdict item 1) needs synthetic
     scenes whose GT spreads over easy/moderate/hard: occlusion levels 1-2,
