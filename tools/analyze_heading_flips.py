@@ -12,10 +12,17 @@ physical components, using prediction dirs two checkpoints apart:
 Measured on the round-4 big run (96 train / 48 val hard frames, steps
 2000 vs 4000): fine angle median **1.4 deg** (solved), flip bit **41%**
 between checkpoints and 46.8%/53.6% vs GT — i.e. exact CHANCE. The
-orientation "weakness" is entirely the unlearned binary disambiguation
-(the angle-vector target carries it, but at 2-4k steps the vector has
-not converged enough to pick the side; the reference trains 120k steps).
+orientation "weakness" is entirely the unlearned binary disambiguation.
 AOS ~ (1 - flip_rate) x AP_2d reproduces every observed AOS value.
+
+ROUND-5 RESOLUTION: the chance-level flip bit was an ORACLE ARTIFACT —
+the synthetic box sampler was front-back symmetric, making the GT heading
+side statistically independent of every observable feature (no model
+could learn it, at any horizon; the round-4 "training horizon" hypothesis
+was untestable on that data). With typed heading asymmetry in the
+generator (data/synthetic.py) plus the explicit flip head
+(avod.explicit_flip_head), AOS == 2D AP to 3 decimals and the pi-flip
+audit collapses AOS to 0.000 (cars_check --flip_head, 48-val).
 
 Usage:
   python tools/analyze_heading_flips.py <gt_dir> <pred_dir_a> [pred_dir_b]
