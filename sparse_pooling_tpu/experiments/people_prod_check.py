@@ -45,7 +45,12 @@ def main(argv=None):
     )
     p.add_argument("--workdir", default=None)
     p.add_argument("--device", default=None, help="cpu or tpu (default: auto)")
-    p.add_argument("--roi_quad", type=int, default=1, help="preset default 1")
+    p.add_argument(
+        "--roi_quad", type=int, default=None,
+        help="override rpn.roi_quad (None = keep the preset's production "
+        "value, Q4 since round 3; the old hardcoded default 1 silently "
+        "downgraded certification runs to the non-production filter)",
+    )
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=8e-4)
     p.add_argument("--dataset_root", default=None, help="reuse an existing tree")
@@ -86,6 +91,8 @@ def main(argv=None):
         )
 
     base = people_pyramid_config()
+    if args.roi_quad is None:
+        args.roi_quad = base.model.rpn.roi_quad
     model = dataclasses.replace(
         base.model,
         rpn=dataclasses.replace(base.model.rpn, roi_quad=args.roi_quad),
