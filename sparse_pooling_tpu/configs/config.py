@@ -302,18 +302,20 @@ class AvodStage2Config:
     loss_cls_weight: float = 1.0
     loss_reg_weight: float = 5.0
     loss_ang_weight: float = 1.0
-    # Explicit pi-disambiguation head. Round-4 decomposition
-    # (tools/analyze_heading_flips.py) showed the angle-vector regression's
-    # FINE angle converges early (1.4 deg median) while the binary pi-flip
-    # bit it implicitly carries sits at exact chance at check-scale training
-    # horizons, and loss-share tuning does not move it. When enabled, stage 2
-    # adds a 2-logit front/back head trained with CE on the GT heading side
+    # Explicit pi-disambiguation head (DEFAULT since round 5). Stage 2 adds
+    # a 2-logit front/back head trained with CE on the GT heading side
     # (side = outside the canonical band [-pi/2, pi/2), see
-    # ops.encoders.heading_flip_bit), and decode resolves the pi flip from
-    # this logit instead of the angle-vector direction; the box regression
-    # keeps supplying the fine angle it already nails. The angle-vector head
-    # and loss remain (reference parity + the rcnn family's fine angle).
-    explicit_flip_head: bool = False
+    # ops.encoders.heading_flip_bit); decode resolves the pi flip from this
+    # logit instead of the angle-vector direction, while the box regression
+    # (AVOD family) / angle vector (rcnn family) keeps the fine mod-pi
+    # angle. The angle-vector head and loss remain (reference parity).
+    # Certified on the heading-asymmetric oracle at 48-val x 2 seeds
+    # (BASELINE.md round 5): AOS == 2D AP (0.921 moderate), pi-flip rate
+    # 0.4-1.8% vs GT, and BETTER 3D than the implicit angle-vector
+    # (0.920 +/- 0.003 vs 0.902 +/- 0.009 — decoupling the side bit also
+    # stabilizes the fine regression). Set False for reference-exact
+    # decode semantics (flip toward the angle-vector heading).
+    explicit_flip_head: bool = True
     loss_flip_weight: float = 1.0
     # Stage-2 box regression target: "box_4c" (10-d, 4 ground corners + 2
     # heights — the AVOD representation), "box_8c" (24-d full corners —
