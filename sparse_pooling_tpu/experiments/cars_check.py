@@ -116,6 +116,13 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=8e-4)
     p.add_argument(
+        "--grad_clip", type=float, default=0.0,
+        help="optimizer grad_clip_norm (0 = off). The rcnn box_4c arm "
+        "needs it: corner-offset targets against early garbage proposals "
+        "produce step-1k loss spikes that half-diverged 1 of 2 seeds "
+        "(round-5 BASELINE row)",
+    )
+    p.add_argument(
         "--checkpoint_interval", type=int, default=None,
         help="checkpoint/eval-sweep spacing (default steps//2); the "
         "long-horizon orientation runs use e.g. 4000 to trace AOS vs "
@@ -287,7 +294,7 @@ def main(argv=None):
             summary_interval=max(args.steps // 20, 1),
             optimizer=OptimizerConfig(
                 initial_lr=args.lr, decay_steps=args.steps // 2,
-                decay_rate=0.5,
+                decay_rate=0.5, grad_clip_norm=args.grad_clip,
             ),
         ),
         eval=EvalConfig(
